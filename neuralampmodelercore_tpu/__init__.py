@@ -1,0 +1,106 @@
+"""neuralampmodelercore_tpu: a TPU-native neural amp-modeling engine.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of
+NeuralAmpModelerCore (the reference implementation at
+github.com/sdatkinson/NeuralAmpModelerCore): it loads standard `.nam` model
+files (WaveNet, LSTM, ConvNet, Linear, SlimmableWavenet, SlimmableContainer)
+and runs them as batched block-streaming inference on TPU, matching the
+reference's outputs within the repo's SNR bound.
+
+Public API:
+    model = load_model("model.nam")          # == nam::get_dsp (NAM/get_dsp.h:84-114)
+    state = model.reset(batch=1024)           # allocate + prewarm
+    y, state = model.process(x, state)        # x: (batch, frames[, channels])
+    y = model.render(x)                       # offline full-sequence render
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Union
+
+from . import registry
+from .formats import (
+    ModelMetadata,
+    NamData,
+    UNKNOWN_EXPECTED_SAMPLE_RATE,
+    parse_nam_file,
+    parse_nam_json,
+)
+from .version import (
+    EARLIEST_SUPPORTED_NAM_FILE_VERSION,
+    LATEST_FULLY_SUPPORTED_NAM_FILE_VERSION,
+    Supported,
+    __version__,
+    register_version_support_checker,
+    verify_config_version,
+)
+from .models.base import DEFAULT_MAX_BUFFER_SIZE, Model, ScopedPrewarmOnResetDefault
+
+# Importing the model modules registers the architectures.
+from .models import wavenet, lstm, convnet, linear  # noqa: F401
+from .models.container import ContainerModel, SlimmableModelMixin, load_container
+from .models.slimmable import SlimmableWavenetModel, config_is_slimmable_wavenet
+from .ops import activations
+
+__all__ = [
+    "load_model",
+    "get_dsp",
+    "Model",
+    "ContainerModel",
+    "SlimmableWavenetModel",
+    "SlimmableModelMixin",
+    "ScopedPrewarmOnResetDefault",
+    "ModelMetadata",
+    "NamData",
+    "activations",
+    "registry",
+    "__version__",
+]
+
+
+def _load_from_data(data: NamData) -> Any:
+    """Unified construction path (reference: get_dsp_with_current_prewarm_default,
+    NAM/get_dsp.cpp:241-264 + wavenet::create_config dispatch,
+    NAM/wavenet/model.cpp:1234-1248)."""
+    custom = registry.get_custom_loader(data.architecture)
+    if custom is not None:
+        return custom(data)
+    if data.architecture == "SlimmableContainer":
+        return load_container(data, _load_from_json)
+    if data.architecture == "WaveNet" and config_is_slimmable_wavenet(data.config):
+        return SlimmableWavenetModel(data)
+    arch = registry.get_architecture(data.architecture)
+    config, params = arch.build(data.config, data.weights, data.expected_sample_rate)
+    return Model(arch, config, params, ModelMetadata.from_nam_data(data))
+
+
+def _load_from_json(j: dict) -> Any:
+    return _load_from_data(parse_nam_json(j))
+
+
+def load_model(source: Union[str, os.PathLike, dict, NamData], prewarm: Optional[bool] = None):
+    """Load a .nam model from a path, JSON dict, or parsed NamData.
+
+    ``prewarm`` mirrors DspLoadOptions.prewarm (reference: NAM/get_dsp.h:70-78,
+    get_dsp.cpp:268-278): if set, it overrides the thread-local
+    prewarm-on-reset default during load, and the returned model is restored
+    to the previous default.
+    """
+    if isinstance(source, NamData):
+        data = source
+    elif isinstance(source, dict):
+        data = parse_nam_json(source)
+    else:
+        data = parse_nam_file(source)
+
+    if prewarm is None:
+        return _load_from_data(data)
+    with ScopedPrewarmOnResetDefault(prewarm) as scoped:
+        model = _load_from_data(data)
+        model.prewarm_on_reset = scoped.previous_prewarm_on_reset
+    return model
+
+
+# The reference's name for model loading (NAM/get_dsp.h:84-114).
+get_dsp = load_model

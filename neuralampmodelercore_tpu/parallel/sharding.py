@@ -1,0 +1,184 @@
+"""Multi-chip scaling: device meshes, stream-axis data parallelism, and
+time-axis (sequence-parallel) offline rendering with overlap-save halos.
+
+The reference has NO distributed layer (SURVEY.md §2.7) — it is a
+single-threaded CPU library. These are the TPU-native scaling components the
+north star requires (BASELINE.json), designed around jax.sharding:
+
+  - **Stream DP**: thousands of independent amp streams batched on a leading
+    axis and sharded across chips with ``NamedSharding``; zero collectives in
+    steady state (streams are independent). This is the production serving
+    axis.
+  - **Sequence/Time SP**: a long offline render split across devices. Because
+    every non-recurrent architecture here is causal and finite-receptive-field
+    (ring-buffer lookback contract, reference NAM/conv1d.cpp:126-137), device
+    d only needs the last `receptive_field + prewarm` input samples from
+    device d-1's chunk: a single ``ppermute`` halo exchange of *raw input*,
+    then fully local compute (overlap-save). LSTM's infinite recurrence makes
+    time-sharding a sequential chain, so SP is supported for feedforward
+    architectures (WaveNet/ConvNet/Linear) and streams DP covers LSTM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.base import Model
+
+STREAM_AXIS = "streams"
+TIME_AXIS = "time"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = (STREAM_AXIS,),
+) -> Mesh:
+    """Build a device mesh. Defaults to a 1-D mesh over all devices with a
+    'streams' axis. Pass shape/axis_names for 2-D (streams, time) meshes."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),)
+    dev_array = np.asarray(devices).reshape(tuple(shape))
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def _batch_leaf_spec(mesh: Mesh, axis: str):
+    """PartitionSpec sharding the leading (batch) axis of a leaf."""
+
+    def spec_for(leaf):
+        ndim = np.ndim(leaf)
+        if ndim == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+    return spec_for
+
+
+def shard_state(state: Any, mesh: Mesh, axis: str = STREAM_AXIS) -> Any:
+    """Place a state pytree so its batch axis is sharded across ``axis``."""
+    spec = _batch_leaf_spec(mesh, axis)
+    return jax.tree_util.tree_map(lambda l: jax.device_put(l, spec(l)), state)
+
+
+def replicate_params(params: Any, mesh: Mesh) -> Any:
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), params)
+
+
+def dp_sharded_step(model: Model, mesh: Mesh, axis: str = STREAM_AXIS):
+    """Jit the model's block step with stream-axis sharding constraints:
+    params replicated, state and audio sharded on the leading batch axis.
+
+    Returns step(params, state, x) -> (y, state'). XLA inserts no collectives
+    in the steady state (all ops are batch-parallel); this scales across ICI
+    and hosts by construction.
+    """
+    arch_step = model._jitted_step.__wrapped__  # the un-jitted partial(step, config)
+    rep = NamedSharding(mesh, P())
+    xsh = NamedSharding(mesh, P(axis, None, None))
+
+    def state_shardings(state):
+        spec = _batch_leaf_spec(mesh, axis)
+        return jax.tree_util.tree_map(spec, state)
+
+    def make(state_tree):
+        in_shardings = (
+            jax.tree_util.tree_map(lambda _: rep, model.params),
+            state_shardings(state_tree),
+            xsh,
+        )
+        out_shardings = (xsh, state_shardings(state_tree))
+        return jax.jit(
+            arch_step,
+            in_shardings=in_shardings,
+            out_shardings=out_shardings,
+            donate_argnums=(1,),
+        )
+
+    cache = {}
+
+    def step(params, state, x):
+        key = jax.tree_util.tree_structure(state)
+        if key not in cache:
+            cache[key] = make(state)
+        return cache[key](params, state, x)
+
+    return step
+
+
+# =============================================================================
+# Time-axis sequence parallelism (offline overlap-save render)
+# =============================================================================
+
+
+def _total_context(model: Model) -> int:
+    """Samples of left context a device needs so its chunk's outputs match the
+    unsharded render: the model's settling time (== prewarm sample count,
+    which is 1 + total receptive field for feedforward archs)."""
+    return int(model.get_prewarm_samples())
+
+
+def time_sharded_render(model: Model, mesh: Mesh, x, axis: str = TIME_AXIS):
+    """Render a long signal with the time axis sharded across devices.
+
+    x: (T,) float32, T divisible by the mesh axis size. Each device receives
+    its chunk plus a `context` halo of raw input from the previous device via
+    ppermute (overlap-save), prepends zeros at the stream head, computes
+    locally, and discards the halo outputs. Output is bit-identical to the
+    unsharded full render for feedforward models.
+    """
+    from .. import registry
+
+    cfg = model.config
+    arch = model._arch
+    if arch.name == "LSTM":
+        raise ValueError(
+            "time_sharded_render: LSTM has unbounded recurrence; use stream DP instead"
+        )
+    context = _total_context(model)
+    n = mesh.shape[axis]
+    x = jnp.asarray(x, dtype=jnp.float32)
+    T = x.shape[0]
+    if T % n != 0:
+        raise ValueError(f"time_sharded_render: T={T} not divisible by {n} devices")
+
+    def local_fn(params, x_local):
+        # x_local: (chunk, C) on each device.
+        idx = jax.lax.axis_index(axis)
+        chunk = x_local.shape[0]
+        # Halo: last `context` samples of the LEFT neighbor's chunk.
+        halo_src = x_local[-context:] if context <= chunk else x_local
+        pad = context - halo_src.shape[0]
+        if pad > 0:
+            halo_src = jnp.concatenate([jnp.zeros((pad, x_local.shape[1]), x_local.dtype), halo_src])
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        halo = jax.lax.ppermute(halo_src, axis, perm)
+        # Device 0 has no left neighbor: its halo is stream-head zeros.
+        halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+        full = jnp.concatenate([halo, x_local], axis=0)[None]  # (1, context+chunk, C)
+        state = arch.init_state(cfg, params, 1)
+        y, _ = arch.step(cfg, params, state, full)
+        return y[0, context:, :]
+
+    in_specs = (P(), P(axis, None))
+    out_specs = P(axis, None)
+    fn = jax.jit(
+        jax.shard_map(
+            partial(local_fn),
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+    )
+    xc = x[:, None] if x.ndim == 1 else x
+    y = fn(model.params, xc)
+    return y[:, 0] if x.ndim == 1 else y

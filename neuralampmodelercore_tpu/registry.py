@@ -1,0 +1,93 @@
+"""Architecture registry.
+
+The TPU-native analog of the reference's ConfigParserRegistry
+(reference: NAM/model_config.h:54-123): a name -> architecture-definition map
+that `get_dsp`/`load_model` dispatches on, auto-populated at import time by
+each architecture module, and open for external registration (the reference's
+extensibility contract, NAM/registry.h + tools/test/test_extensible.cpp).
+
+Unlike the reference's OO design (ModelConfig::create -> DSP subclass), an
+architecture here is a bundle of pure functions over (static config, params
+pytree, state pytree) — the shape jit wants:
+
+  build(config_json, weights, sample_rate) -> (config, params)
+  init_state(config, params, batch)        -> state
+  step(config, params, state, x)           -> (y, state')
+
+Meta-architectures that need host-side control flow (SlimmableContainer's
+submodel switching) instead register a ``load`` hook returning a Model
+subclass directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+Config = Any
+Params = Any
+State = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ArchDef:
+    """Functional definition of a nestable architecture."""
+
+    name: str
+    config_cls: type
+    # (config_json, weights, sample_rate) -> (config, params)
+    build: Callable[[dict, np.ndarray, float], Tuple[Config, Params]]
+    # (config, params, batch) -> state
+    init_state: Callable[[Config, Params, int], State]
+    # (config, params, state, x[B,T,Cin]) -> (y[B,T,Cout], state')
+    step: Callable[[Config, Params, State, Any], Tuple[Any, State]]
+    # (config, sample_rate) -> prewarm sample count
+    prewarm_samples: Callable[[Config, float], int]
+    in_channels: Callable[[Config], int]
+    out_channels: Callable[[Config], int]
+
+
+_ARCHS: Dict[str, ArchDef] = {}
+_BY_CONFIG_CLS: Dict[type, ArchDef] = {}
+
+# Custom loaders for meta-architectures / external extensions:
+# name -> (NamData -> Model). Checked before _ARCHS in load dispatch.
+_CUSTOM_LOADERS: Dict[str, Callable[[Any], Any]] = {}
+
+
+def register_architecture(arch: ArchDef) -> None:
+    """(reference analog: ConfigParserHelper static-init auto-registration,
+    NAM/model_config.h:98-104)"""
+    _ARCHS[arch.name] = arch
+    _BY_CONFIG_CLS[arch.config_cls] = arch
+
+
+def register_custom_loader(name: str, loader: Callable[[Any], Any]) -> None:
+    """Register an external architecture by a load hook (reference analog:
+    factory::Helper legacy shim, NAM/registry.h:20-67)."""
+    _CUSTOM_LOADERS[name] = loader
+
+
+def get_architecture(name: str) -> ArchDef:
+    if name not in _ARCHS:
+        raise ValueError(f'Unrecognized architecture "{name}"')
+    return _ARCHS[name]
+
+
+def has_architecture(name: str) -> bool:
+    return name in _ARCHS or name in _CUSTOM_LOADERS
+
+
+def get_custom_loader(name: str) -> Optional[Callable[[Any], Any]]:
+    return _CUSTOM_LOADERS.get(name)
+
+
+def arch_for_config(config: Config) -> ArchDef:
+    """Dispatch on a (static) config object's type — used for nested models
+    (condition DSP) inside traced step functions."""
+    arch = _BY_CONFIG_CLS.get(type(config))
+    if arch is None:
+        raise ValueError(f"No architecture registered for config type {type(config).__name__}")
+    return arch
