@@ -29,47 +29,60 @@ MODEL = "/root/reference/example_models/wavenet_a1_standard.nam"
 NORTH_STAR = 1000.0
 
 
-def _bench_batch(model, B, n_iters=100, warmup=20):
-    """Per-block latency stats for batch size B (sequential dependent steps,
-    per-block sync — the reference's per-block timing discipline)."""
-    import jax
+def _sync(y):
+    """Force real device completion. NOTE: on this sandbox's tunneled 'axon'
+    backend, block_until_ready() returns immediately WITHOUT waiting for
+    execution — only a value fetch truly synchronizes. A scalar reduction
+    keeps the fetched payload at 4 bytes."""
+    import jax.numpy as jnp
 
-    step = model.step_fn()
-    params = model.params
-    state = model.init_state(B)
+    return float(jnp.sum(y[0, 0]))
+
+
+def _bench_batch(model, B, block=BLOCK, n_iters=200, warmup=20):
+    """Sustained per-block latency for batch size B: a chain of n_iters
+    state-dependent steps with ONE final scalar-fetch sync (amortizes the
+    ~24 ms tunnel round-trip). The chain's state dependency makes total/n a
+    true throughput measure. Repeated 3x; p50/p99 are over the 3 repeats'
+    per-block means. Uses the StreamEngine (ring-state production path)."""
+    from neuralampmodelercore_tpu.models.engine import StreamEngine
+
+    engine = StreamEngine(model, batch=B, block_size=block)
+    step = engine.step_fn()
+    params = engine.params
+    state = engine.init_state()
     rng = np.random.default_rng(0)
     import jax.numpy as jnp
 
-    x = jnp.asarray(rng.standard_normal((B, BLOCK, 1)).astype(np.float32) * 0.1)
+    # Engine-internal CTB layout: (channels, block, streams).
+    x = jnp.asarray(rng.standard_normal((1, block, B)).astype(np.float32) * 0.1)
     # compile + warm
     y, state = step(params, state, x)
-    y.block_until_ready()
+    _sync(y)
     for _ in range(warmup):
         y, state = step(params, state, x)
-    y.block_until_ready()
+    _sync(y)
 
-    times = []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        y, state = step(params, state, x)
-        y.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    times = np.asarray(times)
-
-    # sustained (pipelined dispatch) throughput: chain without per-block sync
+    # measure tunnel sync round-trip to subtract
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        y, state = step(params, state, x)
-    y.block_until_ready()
-    sustained = (time.perf_counter() - t0) / n_iters
+    _sync(y)
+    rt = time.perf_counter() - t0
 
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            y, state = step(params, state, x)
+        _sync(y)
+        runs.append(max(time.perf_counter() - t0 - rt, 1e-9) / n_iters)
+    runs = sorted(runs)
     return {
-        "p50": float(np.percentile(times, 50)),
-        "p99": float(np.percentile(times, 99)),
-        "mean": float(times.mean()),
-        "min": float(times.min()),
-        "max": float(times.max()),
-        "sustained": float(sustained),
+        "p50": runs[1],
+        "p99": runs[-1],
+        "mean": float(np.mean(runs)),
+        "min": runs[0],
+        "max": runs[-1],
+        "sustained": runs[1],
     }
 
 

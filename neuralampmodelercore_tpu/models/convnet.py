@@ -23,8 +23,8 @@ import numpy as np
 from .. import registry
 from ..formats import WeightReader
 from ..ops import activations as act
+from ..ops import layers as _L
 from ..ops.layers import (
-    MATMUL_PRECISION,
     Conv1dSpec,
     conv1d_init_state,
     conv1d_params,
@@ -110,13 +110,56 @@ def step(cfg: ConvNetConfig, params, state, x):
         if cfg.batchnorm:
             h = h * bp["bn_scale"] + bp["bn_loc"]
         h = act.apply(cfg.activation, h)
-    y = jnp.matmul(h, params["head_w"], precision=MATMUL_PRECISION) + params["head_b"]
+    y = jnp.matmul(h, params["head_w"], precision=_L.MATMUL_PRECISION) + params["head_b"]
     return y, {"blocks": new_blocks}
 
 
 def prewarm_samples(cfg: ConvNetConfig, sample_rate: float) -> int:
     """1 + sum of dilations (reference: convnet.cpp:200-203)."""
     return 1 + sum(cfg.dilations)
+
+
+# -- engine path (fixed T, ring-chunk conv states, (C, T, B) layout) ---------
+
+from ..ops.ring import conv1d_w_ctb, dot_ctb, ring_conv_init, ring_conv_step  # noqa: E402
+
+
+def engine_prepare(cfg: ConvNetConfig, params, T: int, batch: int):
+    import numpy as _np
+
+    eparams = {
+        "blocks": [
+            {
+                "conv": conv1d_w_ctb(_block_spec(cfg, i), bp["conv"]),
+                **(
+                    {"bn_scale": bp["bn_scale"], "bn_loc": bp["bn_loc"]}
+                    if cfg.batchnorm
+                    else {}
+                ),
+            }
+            for i, bp in enumerate(params["blocks"])
+        ],
+        "head_w": jnp.asarray(_np.asarray(params["head_w"]).T.copy()),  # (O, C)
+        "head_b": params["head_b"],
+    }
+    state = {
+        "blocks": [ring_conv_init(_block_spec(cfg, i), T, batch) for i in range(len(cfg.dilations))]
+    }
+    return eparams, state
+
+
+def engine_step(cfg: ConvNetConfig, T: int, eparams, state, x):
+    new_blocks = []
+    h = x  # (C, T, B)
+    for i in range(len(cfg.dilations)):
+        bp = eparams["blocks"][i]
+        h, bs = ring_conv_step(_block_spec(cfg, i), T, bp["conv"], state["blocks"][i], h)
+        new_blocks.append(bs)
+        if cfg.batchnorm:
+            h = h * bp["bn_scale"][:, None, None] + bp["bn_loc"][:, None, None]
+        h = act.apply(cfg.activation, h, channel_axis=0)
+    y = dot_ctb(eparams["head_w"], h) + eparams["head_b"][:, None, None]
+    return y, {"blocks": new_blocks}
 
 
 registry.register_architecture(
@@ -129,5 +172,7 @@ registry.register_architecture(
         prewarm_samples=prewarm_samples,
         in_channels=lambda c: c.in_channels,
         out_channels=lambda c: c.out_channels,
+        engine_prepare=engine_prepare,
+        engine_step=engine_step,
     )
 )

@@ -1,0 +1,102 @@
+"""StreamEngine: the production serving path — fixed block size, ring states.
+
+The reference pre-allocates everything for a fixed maxBufferSize at Reset
+(reference: DSP::Reset + SetMaxBufferSize cascade, NAM/dsp.cpp:130-140,
+NAM/wavenet/model.cpp:647-690) and then guarantees allocation-free process().
+The engine is the TPU analog: block size T is fixed at construction, conv
+states are chunked-FIFO rings with O(T) per-block HBM traffic (ops/ring.py),
+and the step is compiled once — steady-state processing is retrace-free and
+allocation-free.
+
+    engine = StreamEngine(model, batch=4096, block_size=64)
+    state = engine.reset()                    # zero state + exact prewarm
+    y, state = engine.process(x, state)       # x: (batch, block_size[, C])
+
+Semantics are identical to Model.process with the same block size (tested in
+tests/test_engine.py); only the state layout and traffic differ.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import registry
+from .base import Model
+
+
+class StreamEngine:
+    def __init__(self, model: Model, batch: int, block_size: int):
+        self.model = model
+        self.batch = int(batch)
+        self.block_size = int(block_size)
+        arch = model._arch
+        prepare_fn, step_fn = registry.engine_fns(arch)
+        self._prepare_fn = prepare_fn
+        # Engine params are layout-transformed once at construction
+        # (transposed / tap-stacked weights for the CTB layout).
+        self._eparams, self._state0 = prepare_fn(
+            model.config, model.params, self.block_size, self.batch
+        )
+        self._jitted_step = jax.jit(
+            partial(step_fn, model.config, self.block_size), donate_argnums=(1,)
+        )
+
+    @property
+    def params(self):
+        return self._eparams
+
+    def init_state(self) -> Any:
+        _, state = self._prepare_fn(
+            self.model.config, self.model.params, self.block_size, self.batch
+        )
+        return state
+
+    def prewarm(self, state: Any) -> Any:
+        """Process ceil(prewarm/T) zero blocks. For the feedforward
+        architectures this reaches the exact zero-input fixed point, so the
+        (< T) extra zero samples beyond the reference's exact count are
+        idempotent (state is a function of the last rf inputs, all zero)."""
+        n = self.model.get_prewarm_samples()
+        if n <= 0:
+            return state
+        blocks = -(-n // self.block_size)
+        zeros = jnp.zeros(
+            (self.model.num_input_channels, self.block_size, self.batch), dtype=jnp.float32
+        )
+        for _ in range(blocks):
+            _, state = self._jitted_step(self.params, state, zeros)
+        return state
+
+    def reset(self, prewarm: Optional[bool] = None) -> Any:
+        state = self.init_state()
+        do_prewarm = self.model.prewarm_on_reset if prewarm is None else prewarm
+        if do_prewarm:
+            state = self.prewarm(state)
+        return state
+
+    def step_fn(self):
+        """Raw jitted step: (eparams, state, x[C,T,B]) -> (y[C,T,B], state').
+        Note the engine-internal CTB layout (streams on the lane axis)."""
+        return self._jitted_step
+
+    def process(self, x, state):
+        """Public boundary keeps the (B, T[, C]) convention; the tiny I/O
+        transposes in/out of the CTB layout happen here."""
+        x = jnp.asarray(x, dtype=jnp.float32)
+        squeeze = x.ndim == 2
+        if squeeze:
+            x = x[..., None]
+        if x.shape[1] != self.block_size:
+            raise ValueError(
+                f"StreamEngine is specialized to block_size={self.block_size}; got {x.shape[1]} "
+                "frames (use Model.process for variable block sizes)"
+            )
+        y, state = self._jitted_step(self.params, state, x.transpose(2, 1, 0))
+        y = y.transpose(2, 1, 0)
+        if squeeze and y.shape[-1] == 1:
+            y = y[..., 0]
+        return y, state

@@ -31,7 +31,7 @@ import numpy as np
 from .. import registry
 from ..formats import WeightReader
 from ..ops import activations as act
-from ..ops.layers import MATMUL_PRECISION
+from ..ops import layers as _L
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,7 +95,7 @@ def _cell(cfg: LSTMConfig, lp, h, c, x):
     """One cell update, batched over streams: x (B, in), h/c (B, H)."""
     H = cfg.hidden_size
     xh = jnp.concatenate([x, h], axis=-1)
-    ifgo = jnp.matmul(xh, lp["w"], precision=MATMUL_PRECISION) + lp["b"]
+    ifgo = jnp.matmul(xh, lp["w"], precision=_L.MATMUL_PRECISION) + lp["b"]
     i = ifgo[..., 0 * H : 1 * H]
     f = ifgo[..., 1 * H : 2 * H]
     g = ifgo[..., 2 * H : 3 * H]
@@ -127,7 +127,7 @@ def step(cfg: LSTMConfig, params, state, x):
             new_hs.append(h)
             new_cs.append(c)
             inp = h
-        y = jnp.matmul(inp, params["head_w"], precision=MATMUL_PRECISION) + params["head_b"]
+        y = jnp.matmul(inp, params["head_w"], precision=_L.MATMUL_PRECISION) + params["head_b"]
         return (new_hs, new_cs), y
 
     if cfg.num_layers == 0:
@@ -152,6 +152,84 @@ def prewarm_samples(cfg: LSTMConfig, sample_rate: float) -> int:
     return n if n > 0 else 1
 
 
+# -- engine path ((H, B) layout: streams on the lane axis) -------------------
+
+
+def engine_prepare(cfg: LSTMConfig, params, T: int, batch: int):
+    import numpy as _np
+
+    eparams = {
+        "layers": [
+            {
+                "w": jnp.asarray(_np.asarray(l["w"]).T.copy()),  # (4H, I+H)
+                "b": l["b"],
+                "h0": l["h0"],
+                "c0": l["c0"],
+            }
+            for l in params["layers"]
+        ],
+        "head_w": jnp.asarray(_np.asarray(params["head_w"]).T.copy()),  # (O, H)
+        "head_b": params["head_b"],
+    }
+    state = {
+        "h": [jnp.broadcast_to(l["h0"][:, None], (cfg.hidden_size, batch)) for l in params["layers"]],
+        "c": [jnp.broadcast_to(l["c0"][:, None], (cfg.hidden_size, batch)) for l in params["layers"]],
+    }
+    return eparams, state
+
+
+def engine_step(cfg: LSTMConfig, T: int, eparams, state, x):
+    """x: (C, T, B) -> (y (O, T, B), state'). Cell matmuls run with the
+    stream batch on the lane axis: dot((4H, I+H), (I+H, B))."""
+    H = cfg.hidden_size
+
+    def cell(lp, h, c, inp):
+        xh = jnp.concatenate([inp, h], axis=0)  # (I+H, B)
+        ifgo = (
+            jax.lax.dot_general(
+                lp["w"], xh, (((1,), (0,)), ((), ())), precision=_L.MATMUL_PRECISION
+            )
+            + lp["b"][:, None]
+        )
+        i, f, g, o = ifgo[:H], ifgo[H : 2 * H], ifgo[2 * H : 3 * H], ifgo[3 * H :]
+        if act.using_fast_tanh:
+            sig, th = act.fast_sigmoid, act.fast_tanh
+        else:
+            sig, th = jax.nn.sigmoid, jnp.tanh
+        c_new = sig(f) * c + sig(i) * th(g)
+        h_new = sig(o) * th(c_new)
+        return h_new, c_new
+
+    def scan_body(carry, xt):  # xt: (C, B)
+        hs, cs = carry
+        new_hs, new_cs = [], []
+        inp = xt
+        for li in range(cfg.num_layers):
+            h, c = cell(eparams["layers"][li], hs[li], cs[li], inp)
+            new_hs.append(h)
+            new_cs.append(c)
+            inp = h
+        y = (
+            jax.lax.dot_general(
+                eparams["head_w"], inp, (((1,), (0,)), ((), ())), precision=_L.MATMUL_PRECISION
+            )
+            + eparams["head_b"][:, None]
+        )
+        return (new_hs, new_cs), y
+
+    if cfg.num_layers == 0:
+        C, B = x.shape[0], x.shape[2]
+        n = min(cfg.in_channels, cfg.out_channels)
+        y = jnp.zeros((cfg.out_channels, T, B), dtype=x.dtype)
+        y = y.at[:n].set(x[:n])
+        return y, state
+
+    xt = jnp.moveaxis(x, 1, 0)  # (T, C, B)
+    (hs, cs), yt = jax.lax.scan(scan_body, (state["h"], state["c"]), xt)
+    y = jnp.moveaxis(yt, 0, 1)  # (O, T, B)
+    return y, {"h": hs, "c": cs}
+
+
 registry.register_architecture(
     registry.ArchDef(
         name="LSTM",
@@ -162,5 +240,7 @@ registry.register_architecture(
         prewarm_samples=prewarm_samples,
         in_channels=lambda c: c.in_channels,
         out_channels=lambda c: c.out_channels,
+        engine_prepare=engine_prepare,
+        engine_step=engine_step,
     )
 )

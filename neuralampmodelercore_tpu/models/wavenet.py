@@ -613,7 +613,7 @@ def init_state(cfg: WaveNetConfig, params, batch: int):
 # =============================================================================
 
 
-def _layer_step(ac: LayerArrayConfig, i: int, lp, lstate, x, cond):
+def _layer_step(ac: LayerArrayConfig, i: int, lp, lstate, x, cond, conv=conv1d_step):
     """One layer block (reference: Layer::Process, model.cpp:166-376)."""
     gating = ac.gating_modes[i]
     bottleneck = ac.bottleneck
@@ -623,7 +623,7 @@ def _layer_step(ac: LayerArrayConfig, i: int, lp, lstate, x, cond):
     fs = _layer_film_spec(ac, i, "conv_pre_film")
     if fs is not None:
         h = film_apply(fs, lp["conv_pre_film"], h, cond)
-    c, new_lstate = conv1d_step(_layer_conv_spec(ac, i), lp["conv"], lstate, h)
+    c, new_lstate = conv(_layer_conv_spec(ac, i), lp["conv"], lstate, h)
     fs = _layer_film_spec(ac, i, "conv_post_film")
     if fs is not None:
         c = film_apply(fs, lp["conv_post_film"], c, cond)
@@ -681,24 +681,24 @@ def _layer_step(ac: LayerArrayConfig, i: int, lp, lstate, x, cond):
     return out_next, hd, new_lstate
 
 
-def _layer_array_step(ac: LayerArrayConfig, ap, astate, layer_inputs, cond, head_inputs):
+def _layer_array_step(ac: LayerArrayConfig, ap, astate, layer_inputs, cond, head_inputs, conv=conv1d_step):
     """(reference: LayerArray::Process/ProcessInner, model.cpp:427-511)"""
     x = conv1x1_apply(_rechannel_spec(ac), ap["rechannel"], layer_inputs)
     head_acc = head_inputs  # zeros for the first array, carried for the rest
     new_layer_states = []
     for i in range(ac.num_layers):
-        x, hd, ls = _layer_step(ac, i, ap["layers"][i], astate["layers"][i], x, cond)
+        x, hd, ls = _layer_step(ac, i, ap["layers"][i], astate["layers"][i], x, cond, conv)
         new_layer_states.append(ls)
         head_acc = head_acc + hd
-    head_out, hr_state = conv1d_step(
+    head_out, hr_state = conv(
         _head_rechannel_spec(ac), ap["head_rechannel"], astate["head_rechannel"], head_acc
     )
     new_astate = {"layers": new_layer_states, "head_rechannel": hr_state}
     return x, head_out, new_astate
 
 
-def step(cfg: WaveNetConfig, params, state, x):
-    """Full block step. x: (B, T, in_channels) -> (y (B, T, out_channels), state').
+def _step_impl(cfg: WaveNetConfig, params, state, x, conv, condition_step):
+    """Full block step, parametrized over the conv streaming strategy.
 
     (reference: WaveNet::process, model.cpp:744-832)
     """
@@ -706,8 +706,7 @@ def step(cfg: WaveNetConfig, params, state, x):
 
     condition_input = x
     if cfg.condition_config is not None:
-        sub_arch = registry.arch_for_config(cfg.condition_config)
-        condition_output, cstate = sub_arch.step(
+        condition_output, cstate = condition_step(
             cfg.condition_config, params["condition"], state["condition"], condition_input
         )
         new_state["condition"] = cstate
@@ -719,7 +718,7 @@ def step(cfg: WaveNetConfig, params, state, x):
     head_out = jnp.zeros((batch, T, cfg.layer_arrays[0].head_output_size), dtype=x.dtype)
     for ai, ac in enumerate(cfg.layer_arrays):
         layer_out, head_out, astate = _layer_array_step(
-            ac, params["arrays"][ai], state["arrays"][ai], layer_out, condition_output, head_out
+            ac, params["arrays"][ai], state["arrays"][ai], layer_out, condition_output, head_out, conv
         )
         new_state["arrays"].append(astate)
 
@@ -731,7 +730,207 @@ def step(cfg: WaveNetConfig, params, state, x):
         new_head_states = []
         for si, spec in enumerate(_head_conv_specs(cfg.head)):
             work = act.apply(cfg.head.activation, work)
-            work, hs = conv1d_step(spec, params["head"][si], state["head"][si], work)
+            work, hs = conv(spec, params["head"][si], state["head"][si], work)
+            new_head_states.append(hs)
+        new_state["head"] = new_head_states
+        return work, new_state
+
+    return head_scale * head_out, new_state
+
+
+def step(cfg: WaveNetConfig, params, state, x):
+    """Generic block step (any T per call). x: (B, T, Cin) -> (y, state')."""
+
+    def condition_step(ccfg, cparams, cstate, cx):
+        return registry.arch_for_config(ccfg).step(ccfg, cparams, cstate, cx)
+
+    return _step_impl(cfg, params, state, x, conv1d_step, condition_step)
+
+
+# =============================================================================
+# Engine path: fixed block size T, ring-chunk conv states, (C, T, B) layout
+# =============================================================================
+#
+# The production serving tier: O(T) state traffic (no O(receptive_field)
+# shifting) and the stream batch on the TPU's 128-lane minor axis so no
+# memory tile is padded (see ops/ring.py for the design notes). Semantics are
+# pinned to the generic step by tests/test_engine.py — the analog of the
+# reference's A2-fast vs generic equivalence contract
+# (tools/test/test_a2_fast.cpp:270-311).
+
+from ..ops.ring import (  # noqa: E402
+    conv1d_w_ctb,
+    conv1x1_ctb,
+    conv1x1_w_ctb,
+    ring_conv_init,
+    ring_conv_step,
+)
+
+
+def _film_ctb(spec, ep, x, cond):
+    """FiLM in (C, T, B) layout: scale/shift split on the channel axis
+    (reference: NAM/film.h:76-190)."""
+    ss = conv1x1_ctb(spec.cond_spec, ep, cond)
+    if spec.shift:
+        return x * ss[: spec.input_dim] + ss[spec.input_dim :]
+    return x * ss
+
+
+def engine_prepare(cfg: WaveNetConfig, params, T: int, batch: int):
+    """Build engine-layout weights (transposed / tap-stacked) + ring state."""
+    eparams: Dict[str, Any] = {"arrays": [], "head_scale": params["head_scale"]}
+    state: Dict[str, Any] = {"arrays": []}
+    for ai, ac in enumerate(cfg.layer_arrays):
+        ap = params["arrays"][ai]
+        eap: Dict[str, Any] = {"rechannel": conv1x1_w_ctb(_rechannel_spec(ac), ap["rechannel"])}
+        elayers = []
+        lstates = []
+        for i in range(ac.num_layers):
+            lp = ap["layers"][i]
+            elp: Dict[str, Any] = {"conv": conv1d_w_ctb(_layer_conv_spec(ac, i), lp["conv"])}
+            elp["mixin"] = conv1x1_w_ctb(_layer_mixin_spec(ac, i), lp["mixin"])
+            l1 = _layer1x1_spec(ac)
+            if l1 is not None:
+                elp["layer1x1"] = conv1x1_w_ctb(l1, lp["layer1x1"])
+            h1 = _head1x1_spec(ac)
+            if h1 is not None:
+                elp["head1x1"] = conv1x1_w_ctb(h1, lp["head1x1"])
+            for site in FILM_SITES:
+                fspec = _layer_film_spec(ac, i, site)
+                if fspec is not None:
+                    elp[site] = conv1x1_w_ctb(fspec.cond_spec, lp[site])
+            elayers.append(elp)
+            lstates.append(ring_conv_init(_layer_conv_spec(ac, i), T, batch))
+        eap["layers"] = elayers
+        eap["head_rechannel"] = conv1d_w_ctb(_head_rechannel_spec(ac), ap["head_rechannel"])
+        eparams["arrays"].append(eap)
+        state["arrays"].append(
+            {"layers": lstates, "head_rechannel": ring_conv_init(_head_rechannel_spec(ac), T, batch)}
+        )
+    if cfg.head is not None:
+        eparams["head"] = [
+            conv1d_w_ctb(s, params["head"][si]) for si, s in enumerate(_head_conv_specs(cfg.head))
+        ]
+        state["head"] = [ring_conv_init(s, T, batch) for s in _head_conv_specs(cfg.head)]
+    if cfg.condition_config is not None:
+        sub_arch = registry.arch_for_config(cfg.condition_config)
+        sub_prepare, _ = registry.engine_fns(sub_arch)
+        eparams["condition"], state["condition"] = sub_prepare(
+            cfg.condition_config, params["condition"], T, batch
+        )
+    return eparams, state
+
+
+def _engine_layer_step(ac: LayerArrayConfig, i: int, T: int, elp, lstate, x, cond):
+    """One layer in (C, T, B) layout (reference: Layer::Process,
+    model.cpp:166-376; same graph as _layer_step)."""
+    gating = ac.gating_modes[i]
+    bn = ac.bottleneck
+
+    h = x
+    fs = _layer_film_spec(ac, i, "conv_pre_film")
+    if fs is not None:
+        h = _film_ctb(fs, elp["conv_pre_film"], h, cond)
+    c, new_lstate = ring_conv_step(_layer_conv_spec(ac, i), T, elp["conv"], lstate, h)
+    fs = _layer_film_spec(ac, i, "conv_post_film")
+    if fs is not None:
+        c = _film_ctb(fs, elp["conv_post_film"], c, cond)
+
+    m_in = cond
+    fs = _layer_film_spec(ac, i, "input_mixin_pre_film")
+    if fs is not None:
+        m_in = _film_ctb(fs, elp["input_mixin_pre_film"], cond, cond)
+    m = conv1x1_ctb(_layer_mixin_spec(ac, i), elp["mixin"], m_in)
+    fs = _layer_film_spec(ac, i, "input_mixin_post_film")
+    if fs is not None:
+        m = _film_ctb(fs, elp["input_mixin_post_film"], m, cond)
+
+    z = c + m
+    fs = _layer_film_spec(ac, i, "activation_pre_film")
+    if fs is not None:
+        z = _film_ctb(fs, elp["activation_pre_film"], z, cond)
+
+    if gating == NONE:
+        a = act.apply(ac.activations[i], z, channel_axis=0)
+    elif gating == GATED:
+        a = act.apply(ac.activations[i], z[:bn], channel_axis=0) * act.apply(
+            ac.secondary_activations[i], z[bn:], channel_axis=0
+        )
+    else:  # BLENDED
+        alpha = act.apply(ac.secondary_activations[i], z[bn:], channel_axis=0)
+        a = alpha * act.apply(ac.activations[i], z[:bn], channel_axis=0) + (1.0 - alpha) * z[:bn]
+
+    fs = _layer_film_spec(ac, i, "activation_post_film")
+    if fs is not None:
+        a = _film_ctb(fs, elp["activation_post_film"], a, cond)
+
+    l1 = _layer1x1_spec(ac)
+    if l1 is not None:
+        l = conv1x1_ctb(l1, elp["layer1x1"], a)
+        # Reference quirk: layer1x1_post_film only in blended mode
+        # (model.cpp:262-270).
+        fs = _layer_film_spec(ac, i, "layer1x1_post_film")
+        if fs is not None and gating == BLENDED:
+            l = _film_ctb(fs, elp["layer1x1_post_film"], l, cond)
+        out_next = x + l
+    else:
+        out_next = x
+
+    h1 = _head1x1_spec(ac)
+    if h1 is not None:
+        hd = conv1x1_ctb(h1, elp["head1x1"], a)
+        fs = _layer_film_spec(ac, i, "head1x1_post_film")
+        if fs is not None:
+            hd = _film_ctb(fs, elp["head1x1_post_film"], hd, cond)
+    else:
+        hd = a
+
+    return out_next, hd, new_lstate
+
+
+def engine_step(cfg: WaveNetConfig, T: int, eparams, state, x):
+    """Block step in (C, T, B) layout with ring-chunk conv states (the analog
+    of the reference's A2 ring design, NAM/wavenet/a2_fast.cpp:340-402).
+    x: (in_channels, T, B) -> (y (out_channels, T, B), state')."""
+    new_state: Dict[str, Any] = {"arrays": []}
+
+    condition_input = x
+    if cfg.condition_config is not None:
+        sub_arch = registry.arch_for_config(cfg.condition_config)
+        _, sub_step = registry.engine_fns(sub_arch)
+        condition_output, cstate = sub_step(
+            cfg.condition_config, T, eparams["condition"], state["condition"], condition_input
+        )
+        new_state["condition"] = cstate
+    else:
+        condition_output = condition_input
+
+    layer_out = condition_input
+    B = x.shape[2]
+    head_out = jnp.zeros((cfg.layer_arrays[0].head_output_size, T, B), dtype=x.dtype)
+    for ai, ac in enumerate(cfg.layer_arrays):
+        eap = eparams["arrays"][ai]
+        astate = state["arrays"][ai]
+        h = conv1x1_ctb(_rechannel_spec(ac), eap["rechannel"], layer_out)
+        head_acc = head_out
+        new_lstates = []
+        for i in range(ac.num_layers):
+            h, hd, ls = _engine_layer_step(ac, i, T, eap["layers"][i], astate["layers"][i], h, condition_output)
+            new_lstates.append(ls)
+            head_acc = head_acc + hd
+        layer_out = h
+        head_out, hr_state = ring_conv_step(
+            _head_rechannel_spec(ac), T, eap["head_rechannel"], astate["head_rechannel"], head_acc
+        )
+        new_state["arrays"].append({"layers": new_lstates, "head_rechannel": hr_state})
+
+    head_scale = eparams["head_scale"]
+    if cfg.head is not None:
+        work = head_scale * head_out
+        new_head_states = []
+        for si, spec in enumerate(_head_conv_specs(cfg.head)):
+            work = act.apply(cfg.head.activation, work, channel_axis=0)
+            work, hs = ring_conv_step(spec, T, eparams["head"][si], state["head"][si], work)
             new_head_states.append(hs)
         new_state["head"] = new_head_states
         return work, new_state
@@ -768,5 +967,7 @@ registry.register_architecture(
         prewarm_samples=prewarm_samples,
         in_channels=lambda c: c.in_channels,
         out_channels=lambda c: c.out_channels_,
+        engine_prepare=engine_prepare,
+        engine_step=engine_step,
     )
 )

@@ -203,10 +203,11 @@ def _lut_apply(x: jnp.ndarray, min_x: float, max_x: float, table: np.ndarray) ->
 # =============================================================================
 
 
-def apply(config: ActivationConfig, x: jnp.ndarray) -> jnp.ndarray:
-    """Apply an activation to x (..., channels). Channel-dependent activations
-    (PReLU) use the trailing axis, matching the reference's column-major
-    channel-fastest layout (reference: NAM/activations.h:282-298)."""
+def apply(config: ActivationConfig, x: jnp.ndarray, channel_axis: int = -1) -> jnp.ndarray:
+    """Apply an activation to x. Channel-dependent activations (PReLU) use
+    ``channel_axis`` (default trailing, matching the reference's column-major
+    channel-fastest layout, NAM/activations.h:282-298; the CTB engine layout
+    passes channel_axis=0)."""
     t = config.type
     if t == "Identity":
         return x
@@ -232,15 +233,19 @@ def apply(config: ActivationConfig, x: jnp.ndarray) -> jnp.ndarray:
             slopes = jnp.asarray([config.negative_slope], dtype=x.dtype)
         else:
             slopes = jnp.asarray([0.01], dtype=x.dtype)
-        # Broadcast over trailing channel axis; reference indexes pos % n_slopes
+        # Broadcast over the channel axis; reference indexes pos % n_slopes
         # with channels fastest (NAM/activations.h:293-297).
-        c = x.shape[-1]
+        ax = channel_axis % x.ndim
+        c = x.shape[ax]
         n = slopes.shape[0]
         if c % n != 0:
             raise ValueError(
                 f"PReLU got {c} channels but activation has {n} slopes, which doesn't divide evenly."
             )
         full = jnp.tile(slopes, c // n)
+        shape = [1] * x.ndim
+        shape[ax] = c
+        full = full.reshape(shape)
         return jnp.where(x > 0, x, full * x)
     if t == "Sigmoid":
         if using_fast_tanh:

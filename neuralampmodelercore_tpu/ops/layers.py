@@ -34,8 +34,25 @@ from ..formats import WeightReader
 
 Params = Dict[str, Any]
 
-# Matmul precision for the correctness tier.
+# Matmul precision. HIGHEST = float32-exact (bf16x6 passes on the MXU),
+# matching the reference's Eigen f32 GEMMs to ~1e-7. DEFAULT = bf16x3
+# (~2.4x faster, ~1e-6 relative error — still far inside the reference's
+# 5e-5 equivalence tolerance, tools/test/test_a2_fast.cpp:276-278).
+# Switch with set_matmul_precision(); changing it retraces jitted steps.
 MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_matmul_precision(precision) -> None:
+    """precision: 'highest' | 'default' | a jax.lax.Precision value."""
+    global MATMUL_PRECISION
+    if isinstance(precision, str):
+        precision = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "float32": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT,
+            "bfloat16_3x": jax.lax.Precision.DEFAULT,
+        }[precision.lower()]
+    MATMUL_PRECISION = precision
 
 
 def _matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

@@ -47,6 +47,32 @@ class ArchDef:
     prewarm_samples: Callable[[Config, float], int]
     in_channels: Callable[[Config], int]
     out_channels: Callable[[Config], int]
+    # Optional block-size-specialized "engine" path: ring-chunk states with
+    # O(block) traffic in the lane-aligned (C, T, B) layout (see ops/ring.py).
+    # engine_prepare(config, params, T, batch) -> (eparams, state)
+    engine_prepare: Optional[Callable[[Config, Params, int, int], Tuple[Params, State]]] = None
+    # engine_step(config, T, eparams, state, x_ctb) -> (y_ctb, state')
+    engine_step: Optional[Callable[..., Tuple[Any, State]]] = None
+
+
+def engine_fns(arch: ArchDef):
+    """(prepare(config, params, T, batch) -> (eparams, state),
+    step(config, T, eparams, state, x_ctb) -> (y_ctb, state')) in the CTB
+    engine layout. Architectures without a specialized engine get an adapter
+    around the generic step (transposing at the boundary — fine for the
+    small-state architectures that lack one)."""
+    if arch.engine_prepare is not None and arch.engine_step is not None:
+        return arch.engine_prepare, arch.engine_step
+
+    def prepare(config, params, T, batch):
+        return params, arch.init_state(config, params, batch)
+
+    def step(config, T, eparams, state, x_ctb):
+        x_btc = x_ctb.transpose(2, 1, 0)
+        y_btc, state = arch.step(config, eparams, state, x_btc)
+        return y_btc.transpose(2, 1, 0), state
+
+    return prepare, step
 
 
 _ARCHS: Dict[str, ArchDef] = {}
