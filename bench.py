@@ -86,16 +86,56 @@ def _bench_batch(model, B, block=BLOCK, n_iters=200, warmup=20):
     }
 
 
+def _snr_check(model, candidate: str) -> float:
+    """One-time numerical self-check of a precision mode on device: step
+    output vs float32-exact (HIGHEST); returns max abs diff. The reference's
+    implementation-equivalence tolerance is 5e-5
+    (tools/test/test_a2_fast.cpp:276-278)."""
+    import jax
+    from functools import partial
+    from neuralampmodelercore_tpu.ops import layers as L
+
+    import jax.numpy as jnp
+
+    x = jnp.asarray(
+        (np.random.default_rng(3).standard_normal((1, 4096, 1)) * 0.3).astype(np.float32)
+    )
+    outs = {}
+    prev = L.MATMUL_PRECISION
+    for prec in ["highest", candidate]:
+        L.set_matmul_precision(prec)
+        step = jax.jit(partial(model._arch.step, model.config))
+        y, _ = step(model.params, model.init_state(1), x)
+        outs[prec] = np.asarray(y)
+    L.MATMUL_PRECISION = prev
+    return float(np.abs(outs["highest"] - outs[candidate]).max())
+
+
 def main():
+    import gc
+
     import neuralampmodelercore_tpu as nam
+    from neuralampmodelercore_tpu.ops.layers import set_matmul_precision
 
     model = nam.load_model(MODEL)
     model.prewarm_on_reset = False
 
+    # Pick the fastest matmul precision that stays inside the reference's
+    # 5e-5 equivalence bound (on this backend DEFAULT is single-pass bf16 —
+    # too lossy; HIGH is bf16x3 — typically passes).
+    for candidate in ["default", "high"]:
+        diff = _snr_check(model, candidate)
+        print(f"# precision self-check: {candidate}-vs-exact max abs diff = {diff:.2e} "
+              f"(reference tolerance 5e-5)", file=sys.stderr)
+        if diff < 5e-5:
+            set_matmul_precision(candidate)
+            print(f"# benching at precision={candidate}", file=sys.stderr)
+            break
+
     best_B = 0
     best_stats = None
     results = {}
-    B = 128
+    B = 256
     max_B = 1 << 20
     while B <= max_B:
         try:
@@ -103,6 +143,8 @@ def main():
         except Exception as e:
             print(f"# B={B} failed: {type(e).__name__}: {e}", file=sys.stderr)
             break
+        finally:
+            gc.collect()
         results[B] = stats
         rt = stats["sustained"] <= DEADLINE_S and stats["p50"] <= DEADLINE_S * 1.5
         print(
@@ -115,6 +157,29 @@ def main():
             B *= 2
         else:
             break
+
+    # Refine between the last passing and first failing power of two.
+    if best_B and best_B * 2 <= max_B:
+        lo, hi = best_B, B
+        while hi - lo > max(lo // 8, 128):
+            mid = (lo + hi) // 2 // 128 * 128
+            if mid in (lo, hi):
+                break
+            try:
+                stats = _bench_batch(model, mid)
+            except Exception:
+                break
+            finally:
+                gc.collect()
+            rt = stats["sustained"] <= DEADLINE_S and stats["p50"] <= DEADLINE_S * 1.5
+            print(
+                f"# refine B={mid}: sustained={stats['sustained']*1e6:.0f}us rt={rt}",
+                file=sys.stderr,
+            )
+            if rt:
+                lo, best_B, best_stats = mid, mid, stats
+            else:
+                hi = mid
 
     if best_B == 0:
         out = {

@@ -1,0 +1,204 @@
+// nam_native: C++ host dataplane for the TPU amp-modeling engine.
+//
+// The TPU compute path is JAX/XLA/Pallas; this library is the native runtime
+// around it — the host-side pieces that must not become the bottleneck when
+// feeding thousands of real-time 48 kHz streams to a chip (SURVEY.md §7 hard
+// part #3). It provides:
+//
+//   - a fast WAV codec (PCM 16/24/32-bit and IEEE float32) — the analog of
+//     the reference's AudioDSPTools WAV layer (reference: tools/render.cpp
+//     uses dsp::wav::Load / SaveWavFloat32)
+//   - batch (de)interleaving between per-stream audio and the engine's
+//     lane-aligned (C, T, B) device layout — the hot per-block transform on
+//     the host feed path
+//   - a lock-free single-producer single-consumer block ring for handing
+//     audio blocks between real-time audio threads and the dispatch thread —
+//     the host-side analog of the reference's allocation-free RT contract
+//     (reference: tools/test/allocation_tracking.cpp)
+//
+// Exposed as a plain C ABI consumed from Python via ctypes
+// (neuralampmodelercore_tpu/utils/native.py).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ===========================================================================
+// Batch (de)interleaving
+// ===========================================================================
+
+// streams: B pointers to T floats each  ->  out: (T, B) flat (t-major), the
+// trailing two axes of the engine's (C=1, T, B) input layout.
+void nam_interleave_tb(const float** streams, int64_t b, int64_t t, float* out)
+{
+  for (int64_t ti = 0; ti < t; ti++)
+  {
+    float* dst = out + ti * b;
+    for (int64_t bi = 0; bi < b; bi++)
+      dst[bi] = streams[bi][ti];
+  }
+}
+
+// in: (T, B) flat -> B per-stream buffers of T floats.
+void nam_deinterleave_tb(const float* in, int64_t b, int64_t t, float** streams)
+{
+  for (int64_t ti = 0; ti < t; ti++)
+  {
+    const float* src = in + ti * b;
+    for (int64_t bi = 0; bi < b; bi++)
+      streams[bi][ti] = src[bi];
+  }
+}
+
+// Contiguous (B, T) array -> (T, B) transpose (blocked for cache locality).
+void nam_transpose_bt_tb(const float* in, int64_t b, int64_t t, float* out)
+{
+  const int64_t BS = 32;
+  for (int64_t b0 = 0; b0 < b; b0 += BS)
+  {
+    const int64_t b1 = b0 + BS < b ? b0 + BS : b;
+    for (int64_t t0 = 0; t0 < t; t0 += BS)
+    {
+      const int64_t t1 = t0 + BS < t ? t0 + BS : t;
+      for (int64_t bi = b0; bi < b1; bi++)
+        for (int64_t ti = t0; ti < t1; ti++)
+          out[ti * b + bi] = in[bi * t + ti];
+    }
+  }
+}
+
+void nam_transpose_tb_bt(const float* in, int64_t b, int64_t t, float* out)
+{
+  const int64_t BS = 32;
+  for (int64_t t0 = 0; t0 < t; t0 += BS)
+  {
+    const int64_t t1 = t0 + BS < t ? t0 + BS : t;
+    for (int64_t b0 = 0; b0 < b; b0 += BS)
+    {
+      const int64_t b1 = b0 + BS < b ? b0 + BS : b;
+      for (int64_t ti = t0; ti < t1; ti++)
+        for (int64_t bi = b0; bi < b1; bi++)
+          out[bi * t + ti] = in[ti * b + bi];
+    }
+  }
+}
+
+// ===========================================================================
+// WAV sample conversion (decode into float32 in [-1, 1], encode back)
+// ===========================================================================
+
+void nam_decode_pcm16(const int16_t* in, int64_t n, float* out)
+{
+  const float s = 1.0f / 32768.0f;
+  for (int64_t i = 0; i < n; i++)
+    out[i] = in[i] * s;
+}
+
+void nam_decode_pcm24(const uint8_t* in, int64_t n, float* out)
+{
+  const float s = 1.0f / 8388608.0f; // 2^23
+  for (int64_t i = 0; i < n; i++)
+  {
+    int32_t v = (int32_t)in[3 * i] | ((int32_t)in[3 * i + 1] << 8) | ((int32_t)in[3 * i + 2] << 16);
+    if (v >= (1 << 23))
+      v -= (1 << 24);
+    out[i] = v * s;
+  }
+}
+
+void nam_decode_pcm32(const int32_t* in, int64_t n, float* out)
+{
+  const double s = 1.0 / 2147483648.0; // 2^31
+  for (int64_t i = 0; i < n; i++)
+    out[i] = (float)(in[i] * s);
+}
+
+void nam_encode_pcm16(const float* in, int64_t n, int16_t* out)
+{
+  for (int64_t i = 0; i < n; i++)
+  {
+    float v = in[i] * 32768.0f;
+    if (v > 32767.0f)
+      v = 32767.0f;
+    if (v < -32768.0f)
+      v = -32768.0f;
+    out[i] = (int16_t)v;
+  }
+}
+
+// ===========================================================================
+// Lock-free SPSC block ring
+// ===========================================================================
+//
+// Fixed capacity of fixed-size float blocks; producer (audio callback)
+// pushes, consumer (dispatch thread) pops. Allocation-free after creation;
+// acquire/release ordering matches the reference's staged-swap discipline
+// (reference: NAM/wavenet/slimmable.cpp:309-348).
+
+struct NamBlockRing
+{
+  int64_t capacity;   // number of slots (power of two)
+  int64_t block_len;  // floats per slot
+  std::atomic<int64_t> head{0}; // next write
+  std::atomic<int64_t> tail{0}; // next read
+  std::vector<float> storage;
+};
+
+NamBlockRing* nam_ring_create(int64_t capacity, int64_t block_len)
+{
+  // round capacity up to a power of two
+  int64_t cap = 1;
+  while (cap < capacity)
+    cap <<= 1;
+  auto* r = new NamBlockRing();
+  r->capacity = cap;
+  r->block_len = block_len;
+  r->storage.assign((size_t)(cap * block_len), 0.0f);
+  return r;
+}
+
+void nam_ring_destroy(NamBlockRing* r)
+{
+  delete r;
+}
+
+int64_t nam_ring_size(const NamBlockRing* r)
+{
+  return r->head.load(std::memory_order_acquire) - r->tail.load(std::memory_order_acquire);
+}
+
+// Returns 1 on success, 0 if full.
+int nam_ring_push(NamBlockRing* r, const float* block)
+{
+  const int64_t head = r->head.load(std::memory_order_relaxed);
+  const int64_t tail = r->tail.load(std::memory_order_acquire);
+  if (head - tail >= r->capacity)
+    return 0;
+  float* dst = r->storage.data() + (head & (r->capacity - 1)) * r->block_len;
+  std::memcpy(dst, block, (size_t)r->block_len * sizeof(float));
+  r->head.store(head + 1, std::memory_order_release);
+  return 1;
+}
+
+// Returns 1 on success, 0 if empty.
+int nam_ring_pop(NamBlockRing* r, float* block)
+{
+  const int64_t tail = r->tail.load(std::memory_order_relaxed);
+  const int64_t head = r->head.load(std::memory_order_acquire);
+  if (head == tail)
+    return 0;
+  const float* src = r->storage.data() + (tail & (r->capacity - 1)) * r->block_len;
+  std::memcpy(block, src, (size_t)r->block_len * sizeof(float));
+  r->tail.store(tail + 1, std::memory_order_release);
+  return 1;
+}
+
+int nam_native_abi_version()
+{
+  return 1;
+}
+
+} // extern "C"

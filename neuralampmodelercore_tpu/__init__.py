@@ -41,12 +41,16 @@ from .models.base import DEFAULT_MAX_BUFFER_SIZE, Model, ScopedPrewarmOnResetDef
 from .models import wavenet, lstm, convnet, linear  # noqa: F401
 from .models.container import ContainerModel, SlimmableModelMixin, load_container
 from .models.slimmable import SlimmableWavenetModel, config_is_slimmable_wavenet
+from .models.engine import StreamEngine
 from .ops import activations
+from .ops.layers import set_matmul_precision
 
 __all__ = [
     "load_model",
     "get_dsp",
     "Model",
+    "StreamEngine",
+    "set_matmul_precision",
     "ContainerModel",
     "SlimmableWavenetModel",
     "SlimmableModelMixin",

@@ -49,8 +49,10 @@ def set_matmul_precision(precision) -> None:
         precision = {
             "highest": jax.lax.Precision.HIGHEST,
             "float32": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "bfloat16_3x": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT,
-            "bfloat16_3x": jax.lax.Precision.DEFAULT,
+            "bfloat16": jax.lax.Precision.DEFAULT,
         }[precision.lower()]
     MATMUL_PRECISION = precision
 

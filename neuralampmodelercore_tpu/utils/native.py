@@ -1,0 +1,191 @@
+"""ctypes bindings for the native host dataplane (native/nam_native.cpp).
+
+Builds the shared library on demand (g++ is assumed present; the build is a
+single translation unit). Every entry point has a NumPy fallback so the
+package works without a compiler; ``have_native()`` reports which path is
+active. See native/nam_native.cpp for the design rationale.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libnam_native.so"))
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_lock = threading.Lock()
+_build_attempted = False
+
+
+def _try_load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_attempted
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _build_attempted:
+            _build_attempted = True
+            try:
+                subprocess.run(
+                    ["make", "-s", "lib"],
+                    cwd=os.path.abspath(_NATIVE_DIR),
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+        if not os.path.exists(_LIB_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        # signatures
+        i64, f32p = ctypes.c_int64, ctypes.POINTER(ctypes.c_float)
+        lib.nam_transpose_bt_tb.argtypes = [f32p, i64, i64, f32p]
+        lib.nam_transpose_tb_bt.argtypes = [f32p, i64, i64, f32p]
+        lib.nam_decode_pcm16.argtypes = [ctypes.POINTER(ctypes.c_int16), i64, f32p]
+        lib.nam_decode_pcm24.argtypes = [ctypes.POINTER(ctypes.c_uint8), i64, f32p]
+        lib.nam_decode_pcm32.argtypes = [ctypes.POINTER(ctypes.c_int32), i64, f32p]
+        lib.nam_encode_pcm16.argtypes = [f32p, i64, ctypes.POINTER(ctypes.c_int16)]
+        lib.nam_ring_create.restype = ctypes.c_void_p
+        lib.nam_ring_create.argtypes = [i64, i64]
+        lib.nam_ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.nam_ring_size.restype = i64
+        lib.nam_ring_size.argtypes = [ctypes.c_void_p]
+        lib.nam_ring_push.restype = ctypes.c_int
+        lib.nam_ring_push.argtypes = [ctypes.c_void_p, f32p]
+        lib.nam_ring_pop.restype = ctypes.c_int
+        lib.nam_ring_pop.argtypes = [ctypes.c_void_p, f32p]
+        lib.nam_native_abi_version.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def have_native() -> bool:
+    return _try_load() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def transpose_bt_tb(x: np.ndarray) -> np.ndarray:
+    """(B, T) float32 -> (T, B): the host->device layout transform for the
+    engine's (C=1, T, B) input."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    b, t = x.shape
+    lib = _try_load()
+    out = np.empty((t, b), dtype=np.float32)
+    if lib is None:
+        out[...] = x.T
+        return out
+    lib.nam_transpose_bt_tb(_fptr(x), b, t, _fptr(out))
+    return out
+
+
+def transpose_tb_bt(x: np.ndarray) -> np.ndarray:
+    """(T, B) float32 -> (B, T): device->host output transform."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    t, b = x.shape
+    lib = _try_load()
+    out = np.empty((b, t), dtype=np.float32)
+    if lib is None:
+        out[...] = x.T
+        return out
+    lib.nam_transpose_tb_bt(_fptr(x), b, t, _fptr(out))
+    return out
+
+
+def decode_pcm(raw: bytes, bits: int) -> np.ndarray:
+    """PCM bytes -> float32 in [-1, 1] (native fast path)."""
+    lib = _try_load()
+    if bits == 16:
+        src = np.frombuffer(raw, dtype="<i2")
+        if lib is None:
+            return src.astype(np.float32) / 32768.0
+        out = np.empty(src.size, np.float32)
+        lib.nam_decode_pcm16(src.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), src.size, _fptr(out))
+        return out
+    if bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        n = b.size // 3
+        if lib is None:
+            b3 = b.reshape(-1, 3)
+            vals = (
+                b3[:, 0].astype(np.int32)
+                | (b3[:, 1].astype(np.int32) << 8)
+                | (b3[:, 2].astype(np.int32) << 16)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            return vals.astype(np.float32) / float(1 << 23)
+        out = np.empty(n, np.float32)
+        lib.nam_decode_pcm24(b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, _fptr(out))
+        return out
+    if bits == 32:
+        src = np.frombuffer(raw, dtype="<i4")
+        if lib is None:
+            return (src.astype(np.float64) / float(1 << 31)).astype(np.float32)
+        out = np.empty(src.size, np.float32)
+        lib.nam_decode_pcm32(src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), src.size, _fptr(out))
+        return out
+    raise ValueError(f"unsupported PCM bit depth {bits}")
+
+
+class BlockRing:
+    """Lock-free SPSC ring of fixed-size float blocks (native; numpy-deque
+    fallback). The host-side block queue between audio threads and the device
+    dispatch loop."""
+
+    def __init__(self, capacity: int, block_len: int):
+        self.block_len = int(block_len)
+        self._lib = _try_load()
+        if self._lib is not None:
+            self._h = self._lib.nam_ring_create(int(capacity), int(block_len))
+            self._q = None
+        else:
+            from collections import deque
+
+            self._h = None
+            self._q = deque(maxlen=None)
+            self._capacity = int(capacity)
+
+    def push(self, block: np.ndarray) -> bool:
+        block = np.ascontiguousarray(block, dtype=np.float32).reshape(-1)
+        assert block.size == self.block_len
+        if self._h is not None:
+            return bool(self._lib.nam_ring_push(self._h, _fptr(block)))
+        if len(self._q) >= self._capacity:
+            return False
+        self._q.append(block.copy())
+        return True
+
+    def pop(self) -> Optional[np.ndarray]:
+        if self._h is not None:
+            out = np.empty(self.block_len, np.float32)
+            if self._lib.nam_ring_pop(self._h, _fptr(out)):
+                return out
+            return None
+        if not self._q:
+            return None
+        return self._q.popleft()
+
+    def __len__(self) -> int:
+        if self._h is not None:
+            return int(self._lib.nam_ring_size(self._h))
+        return len(self._q)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None) is not None:
+                self._lib.nam_ring_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass

@@ -1,0 +1,216 @@
+"""Tests for tooling: model generator bookkeeping, state checkpointing,
+native dataplane, StreamFarm, and the CLI entry points."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import neuralampmodelercore_tpu as nam
+from neuralampmodelercore_tpu.tools import generate
+from conftest import EXAMPLE_MODELS
+
+
+# -- generator weight-count bookkeeping (second oracle vs the loader) --------
+
+
+@pytest.mark.parametrize("name", [
+    "wavenet.nam", "my_model.nam", "wavenet_a2_max.nam", "lstm.nam", "slimmable_wavenet.nam",
+])
+def test_generator_counts_match_example_models(name):
+    j = json.load(open(os.path.join(EXAMPLE_MODELS, name)))
+    arch = j["architecture"]
+    counters = {"WaveNet": generate.wavenet_weight_count, "LSTM": generate.lstm_weight_count}
+    assert counters[arch](j["config"]) == len(j["weights"])
+
+
+@pytest.mark.parametrize("arch,config", [
+    ("WaveNet", generate.wavenet_preset("simple")),
+    ("WaveNet", generate.wavenet_preset("standard")),
+    ("LSTM", {"input_size": 1, "hidden_size": 8, "num_layers": 2}),
+    ("ConvNet", {"channels": 4, "dilations": [1, 2, 4], "batchnorm": True, "activation": "Tanh"}),
+    ("ConvNet", {"channels": 4, "dilations": [1, 2], "batchnorm": False, "activation": "ReLU"}),
+    ("Linear", {"receptive_field": 32, "bias": True}),
+])
+def test_generated_models_load_and_run(arch, config):
+    """Generated .nam dicts load through the real loader (weight counts agree
+    with the loader's strict consumption) and process finite audio."""
+    doc = generate.make_nam(arch, config, seed=1, scale=0.1)
+    m = nam.load_model(doc)
+    m.prewarm_on_reset = False
+    st = m.init_state(1)
+    y, _ = m.process(np.zeros((1, 32), np.float32), st)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_generated_a2max_style_model():
+    """Exercise the full feature set (gating modes, all FiLMs, head1x1,
+    bottleneck, groups) through generator + loader."""
+    lc = dict(
+        input_size=1, condition_size=1, head_size=4, channels=4, bottleneck=2,
+        kernel_sizes=[2, 3], dilations=[1, 3],
+        activation=[{"type": "PReLU", "negative_slopes": [0.1, 0.2]}, "Softsign"],
+        gating_mode=["gated", "blended"], secondary_activation="Sigmoid",
+        head_bias=False,
+        head1x1={"active": True, "out_channels": 6, "groups": 1},
+        layer1x1={"active": True, "groups": 1},
+        conv_pre_film={"active": True, "shift": True, "groups": 1},
+        conv_post_film={"active": True, "shift": False, "groups": 1},
+        input_mixin_pre_film={"active": True, "shift": True, "groups": 1},
+        input_mixin_post_film={"active": True, "shift": True, "groups": 1},
+        activation_pre_film={"active": True, "shift": True, "groups": 1},
+        activation_post_film={"active": True, "shift": False, "groups": 1},
+        layer1x1_post_film={"active": True, "shift": True, "groups": 1},
+        head1x1_post_film={"active": True, "shift": True, "groups": 1},
+    )
+    config = {"layers": [lc], "head": None, "head_scale": 0.02}
+    doc = generate.make_nam("WaveNet", config, seed=3, scale=0.1, version="0.6.0")
+    m = nam.load_model(doc)
+    m.prewarm_on_reset = False
+    st = m.init_state(2)
+    y, _ = m.process(np.zeros((2, 16), np.float32), st)
+    assert np.asarray(y).shape == (2, 16, 4)
+
+
+# -- checkpointing -----------------------------------------------------------
+
+
+def test_state_checkpoint_roundtrip(tmp_path):
+    from neuralampmodelercore_tpu.utils.checkpoint import save_state, load_state
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    m.prewarm_on_reset = False
+    st = m.init_state(2)
+    x = np.random.default_rng(0).standard_normal((2, 64)).astype(np.float32) * 0.2
+    y1, st = m.process(x, st)
+
+    path = str(tmp_path / "state.npz")
+    save_state(path, st, metadata={"batch": 2})
+
+    st2 = load_state(path, m.init_state(2))
+    # Resuming from the snapshot continues the stream exactly.
+    y2a, _ = m.process(x, st)
+    y2b, _ = m.process(x, st2)
+    np.testing.assert_array_equal(np.asarray(y2a), np.asarray(y2b))
+
+
+def test_state_checkpoint_shape_mismatch(tmp_path):
+    from neuralampmodelercore_tpu.utils.checkpoint import save_state, load_state
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    st = m.init_state(2)
+    path = str(tmp_path / "state.npz")
+    save_state(path, st)
+    with pytest.raises(ValueError, match="shape"):
+        load_state(path, m.init_state(3))
+
+
+# -- native dataplane --------------------------------------------------------
+
+
+def test_native_transposes_match_numpy():
+    from neuralampmodelercore_tpu.utils.native import transpose_bt_tb, transpose_tb_bt
+
+    x = np.random.default_rng(1).standard_normal((37, 129)).astype(np.float32)
+    np.testing.assert_array_equal(transpose_bt_tb(x), x.T)
+    np.testing.assert_array_equal(transpose_tb_bt(x.T), x)
+
+
+def test_native_pcm_decode_matches_python():
+    from neuralampmodelercore_tpu.utils.native import decode_pcm
+
+    rng = np.random.default_rng(2)
+    i16 = rng.integers(-32768, 32767, 100, dtype=np.int16)
+    np.testing.assert_allclose(decode_pcm(i16.tobytes(), 16), i16 / 32768.0, rtol=1e-6)
+    # 24-bit
+    vals = rng.integers(-(1 << 23), (1 << 23) - 1, 50, dtype=np.int32)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    np.testing.assert_allclose(decode_pcm(raw, 24), vals / float(1 << 23), rtol=1e-6)
+
+
+def test_block_ring_fifo_and_backpressure():
+    from neuralampmodelercore_tpu.utils.native import BlockRing
+
+    r = BlockRing(capacity=4, block_len=16)
+    for i in range(4):
+        assert r.push(np.full(16, float(i), np.float32))
+    assert not r.push(np.zeros(16, np.float32))  # full
+    for i in range(4):
+        out = r.pop()
+        assert out is not None and out[0] == float(i)
+    assert r.pop() is None
+
+
+# -- StreamFarm --------------------------------------------------------------
+
+
+def test_stream_farm_end_to_end():
+    from neuralampmodelercore_tpu.utils.streaming import StreamFarm
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    m.prewarm_on_reset = False
+    B, T = 4, 64
+    farm = StreamFarm(m, batch=B, block_size=T)
+    farm.start()
+
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((B, 3 * T)) * 0.3).astype(np.float32)
+
+    outs = [[] for _ in range(B)]
+    for blk in range(3):
+        for b in range(B):
+            assert farm.push(b, x[b, blk * T : (blk + 1) * T])
+        fed = farm.dispatch()
+        assert fed == B
+        for b in range(B):
+            o = farm.pull(b)
+            assert o is not None
+            outs[b].append(o)
+    got = np.stack([np.concatenate(o) for o in outs])
+
+    # Must equal direct engine processing of the same streams.
+    st = m.init_state(B)
+    ref = []
+    for blk in range(3):
+        y, st = m.process(x[:, blk * T : (blk + 1) * T], st)
+        ref.append(np.asarray(y))
+    ref = np.concatenate(ref, axis=1)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+# -- CLI entry points --------------------------------------------------------
+
+
+def test_render_cli(tmp_path):
+    from neuralampmodelercore_tpu.cli.render import main as render_main
+    from neuralampmodelercore_tpu.utils.audio import read_wav, write_wav_float32
+
+    wav_in = str(tmp_path / "in.wav")
+    wav_out = str(tmp_path / "out.wav")
+    x = (np.random.default_rng(0).standard_normal(2048) * 0.2).astype(np.float32)
+    write_wav_float32(wav_in, x, 48000)
+    rc = render_main([os.path.join(EXAMPLE_MODELS, "wavenet.nam"), wav_in, wav_out, "--full"])
+    assert rc == 0
+    y, sr = read_wav(wav_out)
+    assert sr == 48000 and y.shape == (2048,) and np.isfinite(y).all()
+
+
+def test_render_cli_sample_rate_gate(tmp_path):
+    from neuralampmodelercore_tpu.cli.render import main as render_main
+    from neuralampmodelercore_tpu.utils.audio import write_wav_float32
+
+    wav_in = str(tmp_path / "in44.wav")
+    write_wav_float32(wav_in, np.zeros(100, np.float32), 44100)
+    rc = render_main([os.path.join(EXAMPLE_MODELS, "wavenet.nam"), wav_in, str(tmp_path / "o.wav")])
+    assert rc == 1  # 44.1k vs 48k model (reference: render.cpp:139-144)
+
+
+def test_loadmodel_cli(capsys):
+    from neuralampmodelercore_tpu.cli.loadmodel import main as loadmodel_main
+
+    rc = loadmodel_main([os.path.join(EXAMPLE_MODELS, "lstm.nam")])
+    assert rc == 0
+    assert "LSTM" in capsys.readouterr().out
