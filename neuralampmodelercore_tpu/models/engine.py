@@ -29,7 +29,12 @@ from .base import Model
 
 
 class StreamEngine:
-    def __init__(self, model: Model, batch: int, block_size: int):
+    def __init__(self, model, batch: int, block_size: int):
+        # Meta-models (container/slimmable) resolve to their active model —
+        # switching widths/submodels means building a new engine, matching
+        # the reference's "distinct compiled executables per width" story.
+        if hasattr(model, "active_model") and not isinstance(model, Model):
+            model = model.active_model
         self.model = model
         self.batch = int(batch)
         self.block_size = int(block_size)

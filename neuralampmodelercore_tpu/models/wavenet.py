@@ -776,6 +776,18 @@ def _film_ctb(spec, ep, x, cond):
     return x * ss
 
 
+def _can_fuse_mixin(ac: LayerArrayConfig, i: int) -> bool:
+    """Whether the input-mixin projection could fold into the conv's
+    tap-stacked matmul (z = [W_conv | W_mixin] @ [taps; cond] + b).
+
+    Measured on v5e: DISABLED. Folding cond adds one row (e.g. 48 -> 49),
+    breaking the 8-sublane alignment of the stacked operand; the relayout
+    costs ~35% — more than the saved matmul. Alignment beats op count.
+    Kept (returning False) with the ring_conv_step(extra=...) hook so a
+    future padded-stack variant can re-enable it."""
+    return False
+
+
 def engine_prepare(cfg: WaveNetConfig, params, T: int, batch: int):
     """Build engine-layout weights (transposed / tap-stacked) + ring state."""
     eparams: Dict[str, Any] = {"arrays": [], "head_scale": params["head_scale"]}
@@ -789,6 +801,13 @@ def engine_prepare(cfg: WaveNetConfig, params, T: int, batch: int):
             lp = ap["layers"][i]
             elp: Dict[str, Any] = {"conv": conv1d_w_ctb(_layer_conv_spec(ac, i), lp["conv"])}
             elp["mixin"] = conv1x1_w_ctb(_layer_mixin_spec(ac, i), lp["mixin"])
+            if _can_fuse_mixin(ac, i):
+                # Fold the mixin into the conv's stacked weight:
+                # (O, K*C) ++ (O, cond) -> (O, K*C + cond).
+                elp["conv"] = dict(
+                    elp["conv"], w=jnp.concatenate([elp["conv"]["w"], elp["mixin"]["w"]], axis=1)
+                )
+                del elp["mixin"]
             l1 = _layer1x1_spec(ac)
             if l1 is not None:
                 elp["layer1x1"] = conv1x1_w_ctb(l1, lp["layer1x1"])
@@ -831,21 +850,25 @@ def _engine_layer_step(ac: LayerArrayConfig, i: int, T: int, elp, lstate, x, con
     fs = _layer_film_spec(ac, i, "conv_pre_film")
     if fs is not None:
         h = _film_ctb(fs, elp["conv_pre_film"], h, cond)
-    c, new_lstate = ring_conv_step(_layer_conv_spec(ac, i), T, elp["conv"], lstate, h)
-    fs = _layer_film_spec(ac, i, "conv_post_film")
-    if fs is not None:
-        c = _film_ctb(fs, elp["conv_post_film"], c, cond)
-
-    m_in = cond
-    fs = _layer_film_spec(ac, i, "input_mixin_pre_film")
-    if fs is not None:
-        m_in = _film_ctb(fs, elp["input_mixin_pre_film"], cond, cond)
-    m = conv1x1_ctb(_layer_mixin_spec(ac, i), elp["mixin"], m_in)
-    fs = _layer_film_spec(ac, i, "input_mixin_post_film")
-    if fs is not None:
-        m = _film_ctb(fs, elp["input_mixin_post_film"], m, cond)
-
-    z = c + m
+    if _can_fuse_mixin(ac, i):
+        # conv + mixin in one matmul (see _can_fuse_mixin).
+        z, new_lstate = ring_conv_step(
+            _layer_conv_spec(ac, i), T, elp["conv"], lstate, h, extra=cond
+        )
+    else:
+        c, new_lstate = ring_conv_step(_layer_conv_spec(ac, i), T, elp["conv"], lstate, h)
+        fs = _layer_film_spec(ac, i, "conv_post_film")
+        if fs is not None:
+            c = _film_ctb(fs, elp["conv_post_film"], c, cond)
+        m_in = cond
+        fs = _layer_film_spec(ac, i, "input_mixin_pre_film")
+        if fs is not None:
+            m_in = _film_ctb(fs, elp["input_mixin_pre_film"], cond, cond)
+        m = conv1x1_ctb(_layer_mixin_spec(ac, i), elp["mixin"], m_in)
+        fs = _layer_film_spec(ac, i, "input_mixin_post_film")
+        if fs is not None:
+            m = _film_ctb(fs, elp["input_mixin_post_film"], m, cond)
+        z = c + m
     fs = _layer_film_spec(ac, i, "activation_pre_film")
     if fs is not None:
         z = _film_ctb(fs, elp["activation_pre_film"], z, cond)

@@ -131,11 +131,18 @@ def _tap_window(state: Dict, x: jnp.ndarray, a: int, T: int) -> jnp.ndarray:
     return jnp.concatenate([left, right], axis=1)
 
 
-def ring_conv_step(spec: Conv1dSpec, T: int, ep: Params, state: Dict, x: jnp.ndarray):
+def ring_conv_step(
+    spec: Conv1dSpec, T: int, ep: Params, state: Dict, x: jnp.ndarray, extra: jnp.ndarray = None
+):
     """Streaming dilated conv over one T-frame block, (C, T, B) layout.
 
     Semantically identical to ops.layers.conv1d_step (the RingBuffer
-    Read(n, lookback) contract, NAM/conv1d.cpp:244-252); traffic is O(T)."""
+    Read(n, lookback) contract, NAM/conv1d.cpp:244-252); traffic is O(T).
+
+    ``extra``: optional additional input rows (E, T, B) appended to the
+    tap-stacked contraction — used to fuse the WaveNet input-mixin's
+    condition projection into the same matmul (ep["w"] must then be the
+    (O, K*C + E) fused weight)."""
     K, d, rf = spec.kernel_size, spec.dilation, spec.receptive_field
     assert x.shape[1] == T, f"ring engine requires fixed block size {T}, got {x.shape[1]}"
 
@@ -145,10 +152,14 @@ def ring_conv_step(spec: Conv1dSpec, T: int, ep: Params, state: Dict, x: jnp.nda
             a = (K - 1 - k) * d
             contrib = _tap_window(state, x, a, T) * ep["dw"][k][:, None, None]
             y = contrib if y is None else y + contrib
+        if extra is not None:
+            raise ValueError("extra rows unsupported for depthwise ring conv")
     else:
-        # Tap-stack: one matmul over a K*C-deep contraction.
+        # Tap-stack: one matmul over a K*C(+E)-deep contraction.
         windows = [_tap_window(state, x, (K - 1 - k) * d, T) for k in range(K)]
-        stacked = jnp.concatenate(windows, axis=0) if K > 1 else windows[0]
+        if extra is not None:
+            windows.append(extra)
+        stacked = jnp.concatenate(windows, axis=0) if len(windows) > 1 else windows[0]
         y = dot_ctb(ep["w"], stacked)
     if spec.bias:
         y = y + ep["b"][:, None, None]

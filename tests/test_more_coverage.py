@@ -1,0 +1,169 @@
+"""Additional coverage: custom loaders, Linear implementations, engine on A2,
+profiling utilities, time-sharded render."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import neuralampmodelercore_tpu as nam
+from neuralampmodelercore_tpu import registry
+from neuralampmodelercore_tpu.tools import generate
+from conftest import EXAMPLE_MODELS
+
+
+def test_register_custom_loader():
+    """External architectures can take over loading entirely
+    (reference analog: factory::Helper, NAM/registry.h:20-67)."""
+
+    class Doubler:
+        architecture = "DoublerArch"
+        num_input_channels = 1
+        num_output_channels = 1
+
+        def __init__(self, data):
+            self.gain = float(data.weights[0])
+
+    registry.register_custom_loader("DoublerArch", lambda data: Doubler(data))
+    try:
+        m = nam.load_model(
+            {
+                "version": "0.5.4",
+                "architecture": "DoublerArch",
+                "config": {},
+                "weights": [2.0],
+            }
+        )
+        assert isinstance(m, Doubler) and m.gain == 2.0
+    finally:
+        registry._CUSTOM_LOADERS.pop("DoublerArch", None)
+
+
+def test_linear_direct_vs_fft_equivalence():
+    """The FFT implementation computes the identical convolution
+    (reference analog: the Linear FFT path produces the same outputs as
+    direct, NAM/linear.cpp)."""
+    config = {"receptive_field": 300, "bias": True}
+    doc = generate.make_nam("Linear", config, seed=2, scale=0.1)
+    x = (np.random.default_rng(0).standard_normal(1024) * 0.5).astype(np.float32)
+
+    outs = {}
+    for impl in ["direct", "fft"]:
+        doc_i = dict(doc, config=dict(config, implementation=impl))
+        m = nam.load_model(doc_i)
+        assert m.config.active_implementation == impl
+        outs[impl] = np.asarray(m.render(x))
+    np.testing.assert_allclose(outs["direct"], outs["fft"], atol=2e-5)
+
+
+def test_linear_auto_selection():
+    """Auto: direct for rf <= 256, fft beyond (reference: linear.cpp:99-113)."""
+    small = nam.load_model(generate.make_nam("Linear", {"receptive_field": 256, "bias": False}))
+    big = nam.load_model(generate.make_nam("Linear", {"receptive_field": 257, "bias": False}))
+    assert small.config.active_implementation == "direct"
+    assert big.config.active_implementation == "fft"
+
+
+def test_linear_streaming_continuity():
+    config = {"receptive_field": 300, "bias": True, "implementation": "fft"}
+    m = nam.load_model(generate.make_nam("Linear", config, seed=4, scale=0.1))
+    x = (np.random.default_rng(1).standard_normal((1, 512)) * 0.3).astype(np.float32)
+    st = m.init_state(1)
+    y_full, _ = m.process(x, st)
+    st = m.init_state(1)
+    parts = []
+    for i in range(0, 512, 64):
+        y, st = m.process(x[:, i : i + 64], st)
+        parts.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(parts, axis=1), np.asarray(y_full), atol=2e-5)
+
+
+def test_engine_on_a2_submodel():
+    """The engine handles the A2 architecture (23 layers, kernels 6-16,
+    mixed dilations) — the reference needs a dedicated fast path for this
+    shape (NAM/wavenet/a2_fast.cpp); here the same engine covers it."""
+    from neuralampmodelercore_tpu.models.engine import StreamEngine
+
+    j = json.load(open(os.path.join(EXAMPLE_MODELS, "A2.nam")))
+    sub = nam.load_model(j["config"]["submodels"][0]["model"])  # A2 nano
+    sub.prewarm_on_reset = False
+    rng = np.random.default_rng(0)
+    T, n_blocks = 64, 30
+    x = (rng.standard_normal((1, n_blocks * T)) * 0.3).astype(np.float32)
+
+    gstate = sub.init_state(1)
+    eng = StreamEngine(sub, batch=1, block_size=T)
+    estate = eng.reset(prewarm=False)
+    for i in range(n_blocks):
+        blk = x[:, i * T : (i + 1) * T]
+        yg, gstate = sub.process(blk, gstate)
+        ye, estate = eng.process(blk, estate)
+        np.testing.assert_allclose(np.asarray(ye), np.asarray(yg), atol=5e-5)
+
+
+def test_profiling_block_timer():
+    from neuralampmodelercore_tpu.utils.profiling import BlockTimer
+
+    bt = BlockTimer(deadline_s=1.0)
+    for _ in range(10):
+        with bt:
+            pass
+    s = bt.stats()
+    assert s["min"] <= s["p50"] <= s["p99"] <= s["max"]
+    assert s["rtf"] > 1.0
+
+
+def test_compiled_stats():
+    import jax
+    from neuralampmodelercore_tpu.utils.profiling import compiled_stats
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    import jax.numpy as jnp
+
+    stats = compiled_stats(
+        m.step_fn(), m.params, m.init_state(1), jnp.zeros((1, 64, 1), jnp.float32)
+    )
+    assert stats["flops"] and stats["flops"] > 0
+
+
+def test_time_sharded_render_matches_unsharded():
+    """SP overlap-save render == unsharded render (exercised on the 8-device
+    CPU mesh; the dryrun covers it too, this pins it in the suite)."""
+    from neuralampmodelercore_tpu.parallel.sharding import TIME_AXIS, make_mesh, time_sharded_render
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    mesh = make_mesh(axis_names=(TIME_AXIS,))
+    n = mesh.shape[TIME_AXIS]
+    T = 128 * n
+    x = (np.random.default_rng(2).standard_normal(T) * 0.3).astype(np.float32)
+    y_sp = np.asarray(time_sharded_render(m, mesh, x))
+    y_ref = np.asarray(m.render(x))
+    np.testing.assert_allclose(y_sp, y_ref, atol=1e-5)
+
+
+def test_dp_sharded_step_matches_single_device():
+    from neuralampmodelercore_tpu.parallel.sharding import (
+        STREAM_AXIS,
+        dp_sharded_step,
+        make_mesh,
+        replicate_params,
+        shard_state,
+    )
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    m.prewarm_on_reset = False
+    mesh = make_mesh(axis_names=(STREAM_AXIS,))
+    n = mesh.shape[STREAM_AXIS]
+    B = 2 * n
+    x = (np.random.default_rng(3).standard_normal((B, 64, 1)) * 0.3).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    params = replicate_params(m.params, mesh)
+    state = shard_state(m.init_state(B), mesh)
+    step = dp_sharded_step(m, mesh)
+    y_sharded, _ = step(params, state, jnp.asarray(x))
+
+    y_ref, _ = m.process(x[..., 0], m.init_state(B))
+    np.testing.assert_allclose(np.asarray(y_sharded)[..., 0], np.asarray(y_ref), atol=1e-6)

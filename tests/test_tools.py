@@ -214,3 +214,39 @@ def test_loadmodel_cli(capsys):
     rc = loadmodel_main([os.path.join(EXAMPLE_MODELS, "lstm.nam")])
     assert rc == 0
     assert "LSTM" in capsys.readouterr().out
+
+
+def test_engine_state_checkpoint_roundtrip(tmp_path):
+    from neuralampmodelercore_tpu.models.engine import StreamEngine
+    from neuralampmodelercore_tpu.utils.checkpoint import save_state, load_state
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    m.prewarm_on_reset = False
+    eng = StreamEngine(m, batch=2, block_size=64)
+    st = eng.init_state()
+    x = np.random.default_rng(7).standard_normal((2, 64)).astype(np.float32) * 0.2
+    _, st = eng.process(x, st)
+    path = str(tmp_path / "estate.npz")
+    save_state(path, st)
+    st2 = load_state(path, eng.init_state())
+    ya, _ = eng.process(x, st)
+    yb, _ = eng.process(x, st2)
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+
+def test_engine_from_meta_models():
+    from neuralampmodelercore_tpu.models.engine import StreamEngine
+
+    c = nam.load_model(os.path.join(EXAMPLE_MODELS, "slimmable_container.nam"))
+    c.prewarm_on_reset = False
+    eng = StreamEngine(c, batch=1, block_size=64)
+    st = eng.reset(prewarm=False)
+    y, _ = eng.process(np.zeros((1, 64), np.float32), st)
+    assert np.isfinite(np.asarray(y)).all()
+
+    s = nam.load_model(os.path.join(EXAMPLE_MODELS, "slimmable_wavenet.nam"))
+    s.prewarm_on_reset = False
+    eng2 = StreamEngine(s, batch=1, block_size=64)
+    st2 = eng2.reset(prewarm=False)
+    y2, _ = eng2.process(np.zeros((1, 64), np.float32), st2)
+    assert np.isfinite(np.asarray(y2)).all()
