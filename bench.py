@@ -28,6 +28,13 @@ DEADLINE_S = BLOCK / SR  # per-block real-time budget
 MODEL = "/root/reference/example_models/wavenet_a1_standard.nam"
 NORTH_STAR = 1000.0
 
+# Candidate block sizes. The north-star SLO is p50 block latency < 10 ms
+# (BASELINE.json); end-to-end latency = buffering (T/48k) + processing
+# (< T/48k when real-time), so blocks up to ~240 frames stay inside 10 ms.
+# Larger blocks amortize per-step overheads (reference analog:
+# benchmodel_bufsize's buffer-size sweep).
+BLOCK_CANDIDATES = (64, 128, 240)
+
 
 def _sync(y):
     """Force real device completion. NOTE: on this sandbox's tunneled 'axon'
@@ -132,55 +139,62 @@ def main():
             print(f"# benching at precision={candidate}", file=sys.stderr)
             break
 
-    best_B = 0
-    best_stats = None
-    results = {}
-    B = 256
-    max_B = 1 << 20
-    while B <= max_B:
-        try:
-            stats = _bench_batch(model, B)
-        except Exception as e:
-            print(f"# B={B} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            break
-        finally:
-            gc.collect()
-        results[B] = stats
-        rt = stats["sustained"] <= DEADLINE_S and stats["p50"] <= DEADLINE_S * 1.5
-        print(
-            f"# B={B}: p50={stats['p50']*1e6:.0f}us p99={stats['p99']*1e6:.0f}us "
-            f"sustained={stats['sustained']*1e6:.0f}us deadline={DEADLINE_S*1e6:.0f}us rt={rt}",
-            file=sys.stderr,
-        )
-        if rt:
-            best_B, best_stats = B, stats
-            B *= 2
-        else:
-            break
-
-    # Refine between the last passing and first failing power of two.
-    if best_B and best_B * 2 <= max_B:
-        lo, hi = best_B, B
-        while hi - lo > max(lo // 8, 128):
-            mid = (lo + hi) // 2 // 128 * 128
-            if mid in (lo, hi):
-                break
+    def ladder(block: int, start_B: int):
+        """Find max real-time B at this block size (doubling + refinement)."""
+        deadline = block / SR
+        best_B, best_stats = 0, None
+        B = start_B
+        while B <= (1 << 20):
             try:
-                stats = _bench_batch(model, mid)
-            except Exception:
+                stats = _bench_batch(model, B, block=block)
+            except Exception as e:
+                print(f"# T={block} B={B} failed: {type(e).__name__}: {e}", file=sys.stderr)
                 break
             finally:
                 gc.collect()
-            rt = stats["sustained"] <= DEADLINE_S and stats["p50"] <= DEADLINE_S * 1.5
+            rt = stats["sustained"] <= deadline and stats["p50"] <= deadline * 1.5
             print(
-                f"# refine B={mid}: sustained={stats['sustained']*1e6:.0f}us rt={rt}",
+                f"# T={block} B={B}: p50={stats['p50']*1e6:.0f}us "
+                f"sustained={stats['sustained']*1e6:.0f}us deadline={deadline*1e6:.0f}us rt={rt}",
                 file=sys.stderr,
             )
             if rt:
-                lo, best_B, best_stats = mid, mid, stats
+                best_B, best_stats = B, stats
+                B *= 2
             else:
-                hi = mid
+                break
+        if best_B:
+            lo, hi = best_B, B
+            while hi - lo > max(lo // 8, 128):
+                mid = (lo + hi) // 2 // 128 * 128
+                if mid in (lo, hi):
+                    break
+                try:
+                    stats = _bench_batch(model, mid, block=block)
+                except Exception:
+                    break
+                finally:
+                    gc.collect()
+                rt = stats["sustained"] <= deadline and stats["p50"] <= deadline * 1.5
+                print(
+                    f"# refine T={block} B={mid}: sustained={stats['sustained']*1e6:.0f}us rt={rt}",
+                    file=sys.stderr,
+                )
+                if rt:
+                    lo, best_B, best_stats = mid, mid, stats
+                else:
+                    hi = mid
+        return best_B, best_stats
 
+    best = (0, None, BLOCK)
+    start = 256
+    for block in BLOCK_CANDIDATES:
+        b, stats = ladder(block, start_B=start)
+        if b > best[0]:
+            best = (b, stats, block)
+        start = max(b, 256)  # later blocks start from the best found so far
+
+    best_B, best_stats, best_block = best
     if best_B == 0:
         out = {
             "metric": "realtime_streams_per_chip",
@@ -189,6 +203,7 @@ def main():
             "vs_baseline": 0.0,
         }
     else:
+        deadline = best_block / SR
         out = {
             "metric": "realtime_streams_per_chip",
             "value": best_B,
@@ -197,8 +212,9 @@ def main():
             "p50_block_us": round(best_stats["p50"] * 1e6, 1),
             "p99_block_us": round(best_stats["p99"] * 1e6, 1),
             "sustained_block_us": round(best_stats["sustained"] * 1e6, 1),
-            "deadline_us": round(DEADLINE_S * 1e6, 1),
-            "block": BLOCK,
+            "deadline_us": round(deadline * 1e6, 1),
+            "p50_latency_ms": round((best_block / SR + best_stats["p50"]) * 1e3, 2),
+            "block": best_block,
             "model": "wavenet_a1_standard",
         }
     print(json.dumps(out))

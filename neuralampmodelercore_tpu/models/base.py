@@ -180,7 +180,11 @@ class Model:
 
     def process(self, x: Any, state: Any):
         """Process one block. x: (B, T, Cin) or (B, T) for mono; returns
-        (y, state') with y matching x's channel convention."""
+        (y, state') with y matching x's channel convention.
+
+        NOTE: ``state`` is CONSUMED (its buffers are donated to the step for
+        in-place updates — the allocation-free contract). Always continue
+        with the returned state; reusing a consumed state raises."""
         x = jnp.asarray(x, dtype=jnp.float32)
         squeeze = False
         if x.ndim == 2:

@@ -119,10 +119,18 @@ def _chunk_rel(state: Dict, x: jnp.ndarray, m_back: int) -> jnp.ndarray:
     return jax.lax.dynamic_slice_in_dim(chunks, slot, 1, axis=0)[0]
 
 
-def _tap_window(state: Dict, x: jnp.ndarray, a: int, T: int) -> jnp.ndarray:
-    """Logical window [-a, -a+T) of the conv input stream, (C, T, B)."""
+def _tap_window(state: Dict, x: jnp.ndarray, a: int, T: int, slab=None) -> jnp.ndarray:
+    """Logical window [-a, -a+T) of the conv input stream, (C, T, B).
+
+    ``slab`` is an optional precomputed concat(chunk(-1), x) covering logical
+    [-T, T): all taps with lookback <= T slice it STATICALLY, so each layer
+    pays for at most one sublane-axis concat instead of one per tap
+    (concats on the time/sublane axis are relayouts — measured ~28% of the
+    engine step before this)."""
     if a == 0:
         return x
+    if a <= T and slab is not None:
+        return jax.lax.slice_in_dim(slab, T - a, 2 * T - a, axis=1)
     j, o = divmod(a, T)
     if o == 0:
         return _chunk_rel(state, x, j)
@@ -146,17 +154,21 @@ def ring_conv_step(
     K, d, rf = spec.kernel_size, spec.dilation, spec.receptive_field
     assert x.shape[1] == T, f"ring engine requires fixed block size {T}, got {x.shape[1]}"
 
+    lookbacks = [(K - 1 - k) * d for k in range(K)]
+    slab = None
+    if any(0 < a <= T for a in lookbacks) and rf > 0:
+        slab = jnp.concatenate([_chunk_rel(state, x, 1), x], axis=1)  # logical [-T, T)
+
     if spec.depthwise:
         y = None
-        for k in range(K):
-            a = (K - 1 - k) * d
-            contrib = _tap_window(state, x, a, T) * ep["dw"][k][:, None, None]
+        for k, a in enumerate(lookbacks):
+            contrib = _tap_window(state, x, a, T, slab) * ep["dw"][k][:, None, None]
             y = contrib if y is None else y + contrib
         if extra is not None:
             raise ValueError("extra rows unsupported for depthwise ring conv")
     else:
         # Tap-stack: one matmul over a K*C(+E)-deep contraction.
-        windows = [_tap_window(state, x, (K - 1 - k) * d, T) for k in range(K)]
+        windows = [_tap_window(state, x, a, T, slab) for a in lookbacks]
         if extra is not None:
             windows.append(extra)
         stacked = jnp.concatenate(windows, axis=0) if len(windows) > 1 else windows[0]
