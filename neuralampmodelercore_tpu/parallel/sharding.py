@@ -115,6 +115,47 @@ def dp_sharded_step(model: Model, mesh: Mesh, axis: str = STREAM_AXIS):
     return step
 
 
+def dp_sharded_engine_step(engine, mesh: Mesh, axis: str = STREAM_AXIS):
+    """Stream-axis sharding for the ring-state engine tier.
+
+    The engine's CTB layout puts the stream batch on the LAST axis of every
+    tensor (activations (C, T, B); ring chunks (M, C, T, B); LSTM h/c
+    (H, B)), so the sharding rule is: shard the trailing axis of every leaf
+    whose trailing dim equals the engine batch; replicate scalars and
+    everything else (weights). Returns (sharded_params, sharded_state,
+    jitted step(eparams, state, x_ctb) -> (y_ctb, state')).
+
+    Pick a batch that differs from T and the channel counts so the rule is
+    unambiguous (batch is typically >= 128 anyway for lane alignment).
+    """
+    B = engine.batch
+
+    def leaf_sharding(leaf):
+        nd = np.ndim(leaf)
+        if nd >= 1 and np.shape(leaf)[-1] == B:
+            return NamedSharding(mesh, P(*([None] * (nd - 1)), axis))
+        return NamedSharding(mesh, P())
+
+    state0 = engine.init_state()
+    eparams = jax.tree_util.tree_map(
+        lambda l: jax.device_put(l, NamedSharding(mesh, P())), engine.params
+    )
+    state = jax.tree_util.tree_map(lambda l: jax.device_put(l, leaf_sharding(l)), state0)
+    xsh = NamedSharding(mesh, P(None, None, axis))
+
+    step = jax.jit(
+        engine.step_fn().__wrapped__,
+        in_shardings=(
+            jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), engine.params),
+            jax.tree_util.tree_map(leaf_sharding, state0),
+            xsh,
+        ),
+        out_shardings=(xsh, jax.tree_util.tree_map(leaf_sharding, state0)),
+        donate_argnums=(1,),
+    )
+    return eparams, state, step
+
+
 # =============================================================================
 # Time-axis sequence parallelism (offline overlap-save render)
 # =============================================================================

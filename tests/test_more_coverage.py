@@ -167,3 +167,59 @@ def test_dp_sharded_step_matches_single_device():
 
     y_ref, _ = m.process(x[..., 0], m.init_state(B))
     np.testing.assert_allclose(np.asarray(y_sharded)[..., 0], np.asarray(y_ref), atol=1e-6)
+
+
+def test_dp_sharded_engine_matches_single_device():
+    """The ring-state engine shards over streams on a mesh (the production
+    multi-chip serving path): sharded output == unsharded."""
+    from neuralampmodelercore_tpu.models.engine import StreamEngine
+    from neuralampmodelercore_tpu.parallel.sharding import (
+        STREAM_AXIS,
+        dp_sharded_engine_step,
+        make_mesh,
+    )
+    import jax.numpy as jnp
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    m.prewarm_on_reset = False
+    mesh = make_mesh(axis_names=(STREAM_AXIS,))
+    n = mesh.shape[STREAM_AXIS]
+    B, T = 2 * n, 64
+    eng = StreamEngine(m, batch=B, block_size=T)
+
+    eparams, state, step = dp_sharded_engine_step(eng, mesh)
+    rng = np.random.default_rng(8)
+    x = (rng.standard_normal((1, T, B)) * 0.3).astype(np.float32)
+    y1, state = step(eparams, state, jnp.asarray(x))
+    y2, state = step(eparams, state, jnp.asarray(x))
+
+    st = eng.init_state()
+    r1, st = eng.step_fn()(eng.params, st, jnp.asarray(x))
+    r2, st = eng.step_fn()(eng.params, st, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(r1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(r2), atol=1e-6)
+
+
+def test_gradients_flow_through_render():
+    """The engine is differentiable end-to-end (beyond the reference, which
+    is inference-only): gradients of a loss on rendered audio w.r.t. model
+    weights are finite and nonzero — the training-step building block."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    x = jnp.asarray((np.random.default_rng(0).standard_normal((1, 128, 1)) * 0.3).astype(np.float32))
+    target = jnp.zeros((1, 128, 1))
+    step = partial(m._arch.step, m.config)
+
+    def loss(params):
+        state = m._arch.init_state(m.config, params, 1)
+        y, _ = step(params, state, x)
+        return jnp.mean((y - target) ** 2)
+
+    val, grads = jax.value_and_grad(loss)(m.params)
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
