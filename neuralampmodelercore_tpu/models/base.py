@@ -25,8 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..formats import ModelMetadata, UNKNOWN_EXPECTED_SAMPLE_RATE
-from ..registry import ArchDef, arch_for_config
+from ..formats import ModelMetadata
+from ..registry import ArchDef
 
 # Default max buffer size used by prewarm when none has been set
 # (reference: NAM/dsp.h:25-27).

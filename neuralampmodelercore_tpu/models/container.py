@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Any, List, Optional, Tuple
 
-from ..formats import ModelMetadata, parse_nam_json
+from ..formats import ModelMetadata
 from .base import DEFAULT_MAX_BUFFER_SIZE, Model
 
 

@@ -22,8 +22,6 @@ When global fast-tanh mode is on, the cell uses fast_sigmoid/fast_tanh
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -24,7 +24,7 @@ Design notes (idiomatic JAX, not a translation):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -34,10 +34,12 @@ from ..formats import WeightReader
 
 Params = Dict[str, Any]
 
-# Matmul precision. HIGHEST = float32-exact (bf16x6 passes on the MXU),
-# matching the reference's Eigen f32 GEMMs to ~1e-7. DEFAULT = bf16x3
-# (~2.4x faster, ~1e-6 relative error — still far inside the reference's
-# 5e-5 equivalence tolerance, tools/test/test_a2_fast.cpp:276-278).
+# Matmul precision ladder (measured on TPU v5e, 20-layer WaveNet output
+# error vs exact): HIGHEST = float32-exact (bf16x6 passes on the MXU; the
+# default — matches the reference's Eigen f32 GEMMs to ~1e-6). HIGH = bf16x3
+# (~2x faster; ~7e-5 — near the reference's 5e-5 equivalence tolerance,
+# tools/test/test_a2_fast.cpp:276-278; bench.py gates it per model).
+# DEFAULT = single-pass bf16 on this backend (~2e-2 — throughput mode only).
 # Switch with set_matmul_precision(); changing it retraces jitted steps.
 MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 

@@ -177,8 +177,6 @@ def time_sharded_render(model: Model, mesh: Mesh, x, axis: str = TIME_AXIS):
     locally, and discards the halo outputs. Output is bit-identical to the
     unsharded full render for feedforward models.
     """
-    from .. import registry
-
     cfg = model.config
     arch = model._arch
     if arch.name == "LSTM":

@@ -13,7 +13,7 @@ bookkeeping oracle.
 from __future__ import annotations
 
 import json
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

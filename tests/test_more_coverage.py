@@ -223,3 +223,44 @@ def test_gradients_flow_through_render():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_multichannel_wavenet_io():
+    """Multi-channel in/out WaveNet (reference analog: the 3-in/2-out
+    real-time-safety tests, tools/test/test_wavenet/test_real_time_safe.cpp).
+    With no condition DSP, the condition is the raw multi-channel input."""
+    config = {
+        "in_channels": 2,
+        "layers": [
+            {
+                "input_size": 2, "condition_size": 2, "head_size": 3,
+                "channels": 4, "kernel_size": 3, "dilations": [1, 2],
+                "activation": "Tanh", "gated": False, "head_bias": True,
+            }
+        ],
+        "head": None,
+        "head_scale": 0.5,
+    }
+    doc = generate.make_nam("WaveNet", config, seed=6, scale=0.2)
+    m = nam.load_model(doc)
+    m.prewarm_on_reset = False
+    assert m.num_input_channels == 2 and m.num_output_channels == 3
+    x = (np.random.default_rng(0).standard_normal((1, 64, 2)) * 0.3).astype(np.float32)
+    y, _ = m.process(x, m.init_state(1))
+    assert np.asarray(y).shape == (1, 64, 3)
+
+    # three-way agreement on multi-channel too
+    ref = build_ref_model_mc(doc)
+    y_ref = ref(np.asarray(x[0]).T).T
+    np.testing.assert_allclose(np.asarray(y)[0], y_ref, atol=1e-4)
+
+    from neuralampmodelercore_tpu.models.engine import StreamEngine
+    eng = StreamEngine(m, batch=1, block_size=64)
+    ye, _ = eng.process(x, eng.reset(prewarm=False))
+    np.testing.assert_allclose(np.asarray(ye), np.asarray(y), atol=2e-5)
+
+
+def build_ref_model_mc(doc):
+    from ref_engine import build_ref_model
+
+    return build_ref_model(doc)
