@@ -83,13 +83,20 @@ def _load_from_json(j: dict) -> Any:
     return _load_from_data(parse_nam_json(j))
 
 
-def load_model(source: Union[str, os.PathLike, dict, NamData], prewarm: Optional[bool] = None):
+def load_model(
+    source: Union[str, os.PathLike, dict, NamData],
+    prewarm: Optional[bool] = None,
+    return_data: bool = False,
+):
     """Load a .nam model from a path, JSON dict, or parsed NamData.
 
     ``prewarm`` mirrors DspLoadOptions.prewarm (reference: NAM/get_dsp.h:70-78,
     get_dsp.cpp:268-278): if set, it overrides the thread-local
     prewarm-on-reset default during load, and the returned model is restored
     to the previous default.
+
+    ``return_data=True`` returns ``(model, NamData)`` — the reference's
+    returnedConfig overloads (NAM/get_dsp.h:96-114).
     """
     if isinstance(source, NamData):
         data = source
@@ -99,11 +106,12 @@ def load_model(source: Union[str, os.PathLike, dict, NamData], prewarm: Optional
         data = parse_nam_file(source)
 
     if prewarm is None:
-        return _load_from_data(data)
-    with ScopedPrewarmOnResetDefault(prewarm) as scoped:
         model = _load_from_data(data)
-        model.prewarm_on_reset = scoped.previous_prewarm_on_reset
-    return model
+    else:
+        with ScopedPrewarmOnResetDefault(prewarm) as scoped:
+            model = _load_from_data(data)
+            model.prewarm_on_reset = scoped.previous_prewarm_on_reset
+    return (model, data) if return_data else model
 
 
 # The reference's name for model loading (NAM/get_dsp.h:84-114).
