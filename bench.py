@@ -226,5 +226,54 @@ def main():
     print(json.dumps(out))
 
 
+def _watchdog_main():
+    """Parent mode: run the real bench in a child process with a timeout and
+    retries. This sandbox's tunneled TPU backend intermittently wedges a
+    process at its first device op (see docs/performance.md); a wedged child
+    burns ~0 CPU and prints nothing, so no-progress-within-timeout -> kill,
+    back off, retry. The last line printed is always the child's JSON result
+    (or a zero result after all retries fail)."""
+    import os
+    import signal
+    import subprocess
+
+    env = dict(os.environ, NAM_BENCH_CHILD="1")
+    for attempt in range(4):
+        proc = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            text=True,
+        )
+        try:
+            out, _ = proc.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            print(f"# bench child timed out (attempt {attempt + 1}); retrying", file=sys.stderr)
+            time.sleep(90)
+            continue
+        lines = [l for l in (out or "").splitlines() if l.strip()]
+        result = next((l for l in reversed(lines) if l.startswith("{")), None)
+        if proc.returncode == 0 and result is not None:
+            print(result)
+            return
+        print(f"# bench child failed rc={proc.returncode} (attempt {attempt + 1})", file=sys.stderr)
+        time.sleep(90)
+    print(json.dumps({
+        "metric": "realtime_streams_per_chip",
+        "value": 0,
+        "unit": "streams",
+        "vs_baseline": 0.0,
+        "error": "bench child failed/wedged on all attempts",
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("NAM_BENCH_CHILD") == "1":
+        main()
+    else:
+        _watchdog_main()
