@@ -24,6 +24,7 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = None
     raw = None
     while pos + 8 <= len(data):
         chunk_id = data[pos : pos + 4]
@@ -31,34 +32,25 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif chunk_id == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt or data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        # Subformat GUID's first two bytes give the real format code.
-        # (fmt chunk body bytes 24-25)
-        pass
-    if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):
+    if audio_format == 0xFFFE and fmt_body is not None and len(fmt_body) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the subformat GUID's first two bytes carry
+        # the real format code (1 = PCM, 3 = IEEE float).
+        audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+    if audio_format == 3:
         x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
     elif audio_format == 1 or audio_format == 0xFFFE:
-        if bits == 16:
-            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-        elif bits == 24:
-            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
-            vals = (
-                b[:, 0].astype(np.int32)
-                | (b[:, 1].astype(np.int32) << 8)
-                | (b[:, 2].astype(np.int32) << 16)
-            )
-            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
-            x = vals.astype(np.float32) / float(1 << 23)
-        elif bits == 32:
-            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(1 << 31)
-        else:
+        if bits not in (16, 24, 32):
             raise ValueError(f"{path}: unsupported PCM bit depth {bits}")
+        from .native import decode_pcm  # native codec when built, numpy otherwise
+
+        x = decode_pcm(raw, bits)
     else:
         raise ValueError(f"{path}: unsupported WAV format code {audio_format}")
     if channels > 1:
