@@ -144,3 +144,67 @@ def test_fuzz_three_way_equivalence(seed):
 
     np.testing.assert_allclose(y_gen, y_ref, atol=1e-4, err_msg=f"generic vs ref, seed {seed}")
     np.testing.assert_allclose(y_eng, y_gen, atol=2e-5, err_msg=f"engine vs generic, seed {seed}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_condition_dsp_and_groups(seed):
+    """Nested condition DSPs (WaveNet/LSTM) and grouped/depthwise convs,
+    cross-checked three ways."""
+    rng = np.random.default_rng(seed + 500)
+
+    # nested condition model: a tiny WaveNet or LSTM producing cond_size channels
+    cond_size = int(rng.choice([2, 4]))
+    if rng.random() < 0.5:
+        sub_cfg = {
+            "layers": [
+                dict(input_size=1, condition_size=1, head_size=cond_size, channels=4,
+                     kernel_size=2, dilations=[1, 2], activation="Tanh", gated=False,
+                     head_bias=True)
+            ],
+            "head": None, "head_scale": 0.5,
+        }
+        sub_doc = generate.make_nam("WaveNet", sub_cfg, seed=seed, scale=0.2, version="0.6.0")
+    else:
+        sub_cfg = {"input_size": 1, "hidden_size": 4, "num_layers": 1,
+                   "out_channels": cond_size}
+        sub_doc = generate.make_nam("LSTM", sub_cfg, seed=seed, scale=0.2, version="0.6.0")
+
+    groups = int(rng.choice([1, 2]))
+    channels = 4
+    config = {
+        "condition_dsp": sub_doc,
+        "layers": [
+            dict(input_size=1, condition_size=cond_size, head_size=1, channels=channels,
+                 kernel_size=3, dilations=[1, 2, 4],
+                 activation="Tanh", gated=bool(rng.random() < 0.5), head_bias=True,
+                 groups_input=groups,
+                 groups_input_mixin=int(rng.choice([1, 2])) if cond_size % 2 == 0 else 1)
+        ],
+        "head": None,
+        "head_scale": 0.3,
+    }
+    doc = generate.make_nam("WaveNet", config, seed=seed + 50, scale=0.2, version="0.6.0")
+
+    T, n_blocks = 32, 6
+    x = (rng.standard_normal(T * n_blocks) * 0.3).astype(np.float32)
+
+    ref = build_ref_model(doc)
+    y_ref = np.concatenate(
+        [ref(x[i * T : (i + 1) * T].reshape(1, -1)) for i in range(n_blocks)], axis=1
+    ).T
+
+    m = nam.load_model(doc)
+    m.prewarm_on_reset = False
+    y_gen, _ = m.process(x[None, :, None], m.init_state(1))
+    y_gen = np.asarray(y_gen)[0]
+
+    eng = StreamEngine(m, batch=1, block_size=T)
+    est = eng.reset(prewarm=False)
+    parts = []
+    for i in range(n_blocks):
+        y, est = eng.process(x[None, i * T : (i + 1) * T, None], est)
+        parts.append(np.asarray(y)[0])
+    y_eng = np.concatenate(parts, axis=0)
+
+    np.testing.assert_allclose(y_gen, y_ref, atol=1e-4, err_msg=f"generic vs ref, seed {seed}")
+    np.testing.assert_allclose(y_eng, y_gen, atol=2e-5, err_msg=f"engine vs generic, seed {seed}")
