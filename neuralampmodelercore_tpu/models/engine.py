@@ -29,7 +29,7 @@ from .base import Model
 
 
 class StreamEngine:
-    def __init__(self, model, batch: int, block_size: int):
+    def __init__(self, model, batch: int, block_size: int, kernel: str = "auto"):
         # Meta-models (container/slimmable) resolve to their active model —
         # switching widths/submodels means building a new engine, matching
         # the reference's "distinct compiled executables per width" story.
@@ -39,7 +39,33 @@ class StreamEngine:
         self.batch = int(batch)
         self.block_size = int(block_size)
         arch = model._arch
-        prepare_fn, step_fn = registry.engine_fns(arch)
+        # Kernel tiers: "pallas" = the fused whole-stack kernel
+        # (ops/pallas/stack.py, VMEM-resident layer pipeline); "xla" = the
+        # per-op compiled step (models/wavenet.py engine_step). "auto" takes
+        # pallas whenever the config qualifies and we're actually on TPU.
+        if kernel not in ("auto", "pallas", "xla"):
+            raise ValueError(f"kernel must be auto|pallas|xla, got {kernel!r}")
+        use_pallas = False
+        if kernel != "xla":
+            import jax as _jax
+
+            from ..ops.pallas import stack as _stack
+
+            reason = _stack.supports(model.config, self.block_size, self.batch)
+            if reason is None and (
+                kernel == "pallas" or _jax.default_backend() == "tpu"
+            ):
+                use_pallas = True
+            elif kernel == "pallas":
+                raise ValueError(f"pallas stack kernel does not support this model: {reason}")
+        if use_pallas:
+            from ..ops.pallas import stack as _stack
+
+            prepare_fn, step_fn = _stack.prepare, _stack.step
+            self.kernel = "pallas"
+        else:
+            prepare_fn, step_fn = registry.engine_fns(arch)
+            self.kernel = "xla"
         self._prepare_fn = prepare_fn
         # Engine params are layout-transformed once at construction
         # (transposed / tap-stacked weights for the CTB layout).

@@ -1,0 +1,547 @@
+"""Fused WaveNet-stack Pallas kernel: the whole block step in ONE kernel.
+
+Why this exists (measured on TPU v5e, flagship wavenet_a1_standard, B=1024,
+T=64, f32-exact): the XLA engine step costs ~870-980 us/block, of which only
+~190 us is MXU/VPU compute (tools/microbench_pallas_dots.py) — the rest is
+HBM traffic: every layer's tap-stacked (K*C, T*B) operand is materialized to
+HBM by the concat and re-read by the dot, and every ring-chunk read is a
+full-chunk HBM->HBM copy. This kernel keeps the entire layer stack
+VMEM-resident:
+
+  - activations flow layer-to-layer inside VMEM; nothing intermediate touches
+    HBM;
+  - dilated-conv tap windows are assembled in VMEM from ring chunks DMA'd
+    directly from HBM (one 512 KB contiguous copy per chunk, one layer of
+    read lookahead);
+  - ring state is updated in place via aliased kernel outputs (the TPU
+    analog of the reference's constant-cost pow2 rings,
+    NAM/wavenet/a2_fast.cpp:340-402) — O(T) write traffic per layer;
+  - dots run at f32-exact precision (Mosaic's default f32 dot is a single
+    bf16 pass, ~9e-2 absolute error on unit-variance operands — measured,
+    rejected; HIGHEST is ~3e-6).
+
+Layout: everything is 2D (channels, T*W) per 128-stream tile; the stream
+batch rides the lane axis (W = 128 lanes), time rides lane-tile blocks, so a
+time slice at a block-size multiple is lane-tile aligned and free. Ring
+chunks are stored (M, n_tiles, C, T*W) so a chunk fetch is one contiguous
+DMA.
+
+Semantics are identical to models.wavenet.engine_step (itself pinned to the
+generic step and the reference renders): reference graph Layer::Process,
+NAM/wavenet/model.cpp:166-376; ring-read contract NAM/conv1d.cpp:244-252.
+Equivalence is tested in tests/test_pallas_stack.py (interpret mode) and
+enforced on-device by cli.bench_engine's agreement gate.
+
+Capability gate (``supports``): groups == 1, no FiLM sites, no LUT-mode
+activations, head_kernel_size == 1, no post-stack head, no nested condition
+DSP, batch % 128 == 0. Everything else — any kernel sizes/dilations, gated /
+blended modes, bottleneck != channels, layer1x1 / head1x1 — is handled.
+Unsupported configs fall back to the XLA engine step (models.engine picks
+automatically).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import activations as act
+
+W_TILE = 128  # streams per kernel tile (one lane tile)
+
+# Interpret mode for CPU testing (tests/test_pallas_stack.py sets this).
+INTERPRET = False
+
+# f32-exact. See module docstring for the measured default-precision failure.
+DOT_PRECISION = jax.lax.Precision.HIGHEST
+
+NONE, GATED, BLENDED = "none", "gated", "blended"
+
+
+# =============================================================================
+# Static plan
+# =============================================================================
+
+
+@dataclasses.dataclass(frozen=True)
+class _LayerPlan:
+    K: int
+    d: int
+    conv_out: int
+    bn: int
+    lookbacks: Tuple[int, ...]  # per tap, k ascending => lookback descending
+    js: Tuple[int, ...]  # distinct past-chunk indices to fetch (all >= 1)
+    M: int  # ring slots (0 => no ring)
+    ring: int  # ring index (-1 => none)
+    slot_base: int  # offset into the slots vector (-1 => none)
+    conv_w: int
+    conv_b: int
+    mixin_w: int
+    l1_w: int  # -1 => inactive
+    l1_b: int
+    h1_w: int
+    h1_b: int
+    gating: str
+    act1: Any
+    act2: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class _ArrayPlan:
+    C: int  # channels
+    I: int  # input size
+    S: int  # condition size
+    L: int
+    head_in: int  # head accumulation channels (head_output_size)
+    head_out: int  # head_size
+    rech_w: int
+    hr_w: int
+    hr_b: int
+    layers: Tuple[_LayerPlan, ...]
+    # scratch indices
+    cur_scr: int
+    chunk_scr: int  # -1 if no ring layers
+    rsem: int
+    wsem: int
+    n_chunk_bufs: int
+
+
+@dataclasses.dataclass(frozen=True)
+class _Plan:
+    T: int
+    W: int
+    nt: int
+    Cin: int
+    Cout: int
+    n_weights: int
+    n_rings: int
+    n_slots: int
+    arrays: Tuple[_ArrayPlan, ...]
+    ring_shapes: Tuple[Tuple[int, int, int, int], ...]
+    scratch_shapes: Tuple[Any, ...]
+
+
+def supports(cfg, T: int, batch: int) -> Optional[str]:
+    """None if the fused kernel handles this config, else the reason why not."""
+    from ...models.wavenet import WaveNetConfig
+
+    if not isinstance(cfg, WaveNetConfig):
+        return f"not a WaveNetConfig: {type(cfg).__name__}"
+    if cfg.head is not None:
+        return "post-stack head"
+    if cfg.condition_config is not None:
+        return "nested condition DSP"
+    if batch % W_TILE != 0 or batch < W_TILE:
+        return f"batch {batch} not a multiple of {W_TILE}"
+    for ai, ac in enumerate(cfg.layer_arrays):
+        if ac.groups_input != 1 or ac.groups_input_mixin != 1:
+            return f"array {ai}: grouped conv/mixin"
+        if ac.layer1x1_active and ac.layer1x1_groups != 1:
+            return f"array {ai}: grouped layer1x1"
+        if ac.head1x1_active and ac.head1x1_groups != 1:
+            return f"array {ai}: grouped head1x1"
+        for name, f in ac.films:
+            if f.active:
+                return f"array {ai}: FiLM site {name}"
+        if ac.head_kernel_size != 1 or ac.head_dilation != 1:
+            return f"array {ai}: head rechannel kernel_size/dilation != 1"
+        for a_cfg in list(ac.activations) + list(ac.secondary_activations):
+            if a_cfg.type in act._luts:
+                return f"LUT-mode activation {a_cfg.type}"
+            if a_cfg.type == "Tanh" and act.using_fast_tanh and "Tanh" in act._luts:
+                return "LUT fast-tanh"
+    return None
+
+
+def _build_plan(cfg, params, T: int, batch: int):
+    """Static plan + flat weight list. Deterministic given (cfg, T, batch)."""
+    if batch % W_TILE:
+        raise ValueError(f"batch must be a multiple of {W_TILE}")
+    W = W_TILE
+    nt = batch // W
+    TW = T * W
+
+    weights: List[jnp.ndarray] = []
+    scratch: List[Any] = []
+    ring_shapes: List[Tuple[int, int, int, int]] = []
+    arrays: List[_ArrayPlan] = []
+    n_slots = 0
+
+    def add_w(a: np.ndarray) -> int:
+        weights.append(jnp.asarray(np.ascontiguousarray(a, dtype=np.float32)))
+        return len(weights) - 1
+
+    for ai, ac in enumerate(cfg.layer_arrays):
+        ap = params["arrays"][ai]
+        C, I, S, L = ac.channels, ac.input_size, ac.condition_size, ac.num_layers
+        rech_w = add_w(np.asarray(ap["rechannel"]["w"]).T)  # (C, I)
+
+        layer_plans: List[_LayerPlan] = []
+        n_chunk_bufs = 0
+        for li in range(L):
+            lp = ap["layers"][li]
+            K, d = ac.kernel_sizes[li], ac.dilations[li]
+            conv_out = ac.conv_out_channels(li)
+            rf = (K - 1) * d
+            lookbacks = tuple((K - 1 - k) * d for k in range(K))
+            js: set = set()
+            for a_lb in lookbacks:
+                if a_lb == 0:
+                    continue
+                j, o = divmod(a_lb, T)
+                if o == 0:
+                    js.add(j)
+                else:
+                    js.add(j + 1)
+                    if j >= 1:
+                        js.add(j)
+            js_t = tuple(sorted(js))
+            if rf > 0:
+                M = rf // T + 2
+                ring = len(ring_shapes)
+                ring_shapes.append((M, nt, C, TW))
+                slot_base = n_slots
+                n_slots += len(js_t) + 1  # reads + write slot
+            else:
+                M, ring, slot_base = 0, -1, -1
+            n_chunk_bufs = max(n_chunk_bufs, len(js_t))
+
+            w = np.asarray(lp["conv"]["w"])  # (K, C, conv_out)
+            conv_w = add_w(w.transpose(2, 0, 1).reshape(conv_out, K * C))
+            conv_b = add_w(np.asarray(lp["conv"]["b"])[:, None])
+            mixin_w = add_w(np.asarray(lp["mixin"]["w"]).T)  # (conv_out, S)
+            l1_w = l1_b = h1_w = h1_b = -1
+            if ac.layer1x1_active:
+                l1_w = add_w(np.asarray(lp["layer1x1"]["w"]).T)  # (C, bn)
+                l1_b = add_w(np.asarray(lp["layer1x1"]["b"])[:, None])
+            if ac.head1x1_active:
+                h1_w = add_w(np.asarray(lp["head1x1"]["w"]).T)
+                h1_b = add_w(np.asarray(lp["head1x1"]["b"])[:, None])
+            layer_plans.append(
+                _LayerPlan(
+                    K=K, d=d, conv_out=conv_out, bn=ac.bottleneck,
+                    lookbacks=lookbacks, js=js_t, M=M, ring=ring,
+                    slot_base=slot_base, conv_w=conv_w, conv_b=conv_b,
+                    mixin_w=mixin_w, l1_w=l1_w, l1_b=l1_b, h1_w=h1_w, h1_b=h1_b,
+                    gating=ac.gating_modes[li],
+                    act1=ac.activations[li], act2=ac.secondary_activations[li],
+                )
+            )
+
+        hr = np.asarray(ap["head_rechannel"]["w"])  # (1, head_in, head_out)
+        hr_w = add_w(hr[0].T)  # (head_out, head_in)
+        hr_b = add_w(np.asarray(ap["head_rechannel"]["b"])[:, None]) if "b" in ap["head_rechannel"] else -1
+
+        cur_scr = len(scratch)
+        scratch.append(pltpu.VMEM((2, C, TW), jnp.float32))
+        if n_chunk_bufs > 0:
+            chunk_scr = len(scratch)
+            scratch.append(pltpu.VMEM((2, n_chunk_bufs, C, TW), jnp.float32))
+            rsem = len(scratch)
+            scratch.append(pltpu.SemaphoreType.DMA((2, max(n_chunk_bufs, 1))))
+        else:
+            chunk_scr = rsem = -1
+        wsem = len(scratch)
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+        arrays.append(
+            _ArrayPlan(
+                C=C, I=I, S=S, L=L,
+                head_in=ac.head_output_size, head_out=ac.head_size,
+                rech_w=rech_w, hr_w=hr_w, hr_b=hr_b,
+                layers=tuple(layer_plans),
+                cur_scr=cur_scr, chunk_scr=chunk_scr, rsem=rsem, wsem=wsem,
+                n_chunk_bufs=n_chunk_bufs,
+            )
+        )
+
+    plan = _Plan(
+        T=T, W=W, nt=nt, Cin=cfg.in_channels, Cout=cfg.out_channels_,
+        n_weights=len(weights), n_rings=len(ring_shapes),
+        n_slots=max(n_slots, 1),
+        arrays=tuple(arrays), ring_shapes=tuple(ring_shapes),
+        scratch_shapes=tuple(scratch),
+    )
+    return plan, weights
+
+
+# =============================================================================
+# Kernel
+# =============================================================================
+
+
+def _dot(w, x):
+    return jax.lax.dot_general(
+        w, x, (((1,), (0,)), ((), ())),
+        precision=DOT_PRECISION, preferred_element_type=jnp.float32,
+    )
+
+
+def _small_dot(w, x):
+    """(O, S) x (S, N): VPU broadcast-sum for tiny contraction dims (the
+    input-mixin / input-rechannel case, S typically 1)."""
+    S = w.shape[1]
+    if S == 1:
+        return w * x
+    if S <= 4:
+        y = w[:, 0:1] * x[0:1, :]
+        for s in range(1, S):
+            y = y + w[:, s : s + 1] * x[s : s + 1, :]
+        return y
+    return _dot(w, x)
+
+
+def _make_kernel(plan: _Plan):
+    NW, NR = plan.n_weights, plan.n_rings
+    T, W = plan.T, plan.W
+
+    def kernel(slots_ref, *refs):
+        x_ref = refs[0]
+        wr = refs[1 : 1 + NW]
+        rr = refs[1 + NW : 1 + NW + NR]
+        y_ref = refs[1 + NW + NR]
+        ro = refs[2 + NW + NR : 2 + NW + 2 * NR]
+        scr = refs[2 + NW + 2 * NR :]
+        i = pl.program_id(0)
+
+        cond = x_ref[:]  # (Cin, TW) — condition == raw input (gate: no cond DSP)
+        prev_out = cond
+        head_acc = None
+
+        for ap in plan.arrays:
+            cur = scr[ap.cur_scr]  # (2, C, TW) layer-input scratch
+            chunks = scr[ap.chunk_scr] if ap.chunk_scr >= 0 else None
+            rsem = scr[ap.rsem] if ap.rsem >= 0 else None
+            wsem = scr[ap.wsem]
+            pending_w = {0: None, 1: None}
+
+            def issue_reads(li):
+                lp = ap.layers[li]
+                ds = []
+                for bi, j in enumerate(lp.js):
+                    s = slots_ref[lp.slot_base + bi]
+                    dma = pltpu.make_async_copy(
+                        rr[lp.ring].at[s, i], chunks.at[li % 2, bi], rsem.at[li % 2, bi]
+                    )
+                    dma.start()
+                    ds.append(dma)
+                return ds
+
+            # rechannel -> layer 0 input
+            cur[0] = _small_dot(wr[ap.rech_w][:], prev_out)
+            reads = issue_reads(0) if ap.layers and ap.layers[0].js else []
+
+            for li, lp in enumerate(ap.layers):
+                p = li % 2
+                for dma in reads:
+                    dma.wait()
+                xin = cur[p]  # (C, TW) value
+
+                # ring write: this layer's input becomes history (in place,
+                # aliased output; write slot never collides with read slots)
+                if lp.M:
+                    wslot = slots_ref[lp.slot_base + len(lp.js)]
+                    wd = pltpu.make_async_copy(cur.at[p], ro[lp.ring].at[wslot, i], wsem.at[p])
+                    wd.start()
+                    pending_w[p] = wd
+
+                def chunk_val(j, li=li, lp=lp, xin=xin):
+                    if j == 0:
+                        return xin
+                    return chunks[li % 2, lp.js.index(j)]
+
+                wins = []
+                for a_lb in lp.lookbacks:
+                    if a_lb == 0:
+                        wins.append(xin)
+                        continue
+                    j, o = divmod(a_lb, T)
+                    if o == 0:
+                        wins.append(chunk_val(j))
+                    else:
+                        left = chunk_val(j + 1)[:, (T - o) * W :]
+                        right = chunk_val(j)[:, : (T - o) * W]
+                        wins.append(jnp.concatenate([left, right], axis=1))
+
+                # one-layer read lookahead: start the next layer's chunk DMAs
+                # before this layer's compute
+                if li + 1 < ap.L and ap.layers[li + 1].js:
+                    reads = issue_reads(li + 1)
+                else:
+                    reads = []
+
+                stacked = jnp.concatenate(wins, axis=0) if len(wins) > 1 else wins[0]
+                z = _dot(wr[lp.conv_w][:], stacked) + wr[lp.conv_b][:]
+                z = z + _small_dot(wr[lp.mixin_w][:], cond)
+
+                bn = lp.bn
+                if lp.gating == NONE:
+                    aout = act.apply(lp.act1, z, channel_axis=0)
+                elif lp.gating == GATED:
+                    aout = act.apply(lp.act1, z[:bn], channel_axis=0) * act.apply(
+                        lp.act2, z[bn:], channel_axis=0
+                    )
+                else:  # BLENDED
+                    alpha = act.apply(lp.act2, z[bn:], channel_axis=0)
+                    aout = alpha * act.apply(lp.act1, z[:bn], channel_axis=0) + (1.0 - alpha) * z[:bn]
+
+                if lp.l1_w >= 0:
+                    nxt = xin + (_dot(wr[lp.l1_w][:], aout) + wr[lp.l1_b][:])
+                else:
+                    nxt = xin
+
+                hd = aout if lp.h1_w < 0 else _dot(wr[lp.h1_w][:], aout) + wr[lp.h1_b][:]
+                head_acc = hd if head_acc is None else head_acc + hd
+
+                if li + 1 < ap.L:
+                    pn = (li + 1) % 2
+                    if pending_w[pn] is not None:
+                        pending_w[pn].wait()
+                        pending_w[pn] = None
+                    cur[pn] = nxt
+                else:
+                    prev_out = nxt
+
+            for p in (0, 1):
+                if pending_w[p] is not None:
+                    pending_w[p].wait()
+
+            # head rechannel (k=1 by the capability gate)
+            head_acc = _dot(wr[ap.hr_w][:], head_acc)
+            if ap.hr_b >= 0:
+                head_acc = head_acc + wr[ap.hr_b][:]
+
+        y_ref[:] = head_acc
+
+    return kernel
+
+
+# =============================================================================
+# Engine-facing API (mirrors models.wavenet.engine_prepare / engine_step)
+# =============================================================================
+
+
+def prepare(cfg, params, T: int, batch: int):
+    """Engine-layout weights + ring state for the fused kernel."""
+    reason = supports(cfg, T, batch)
+    if reason is not None:
+        raise ValueError(f"pallas stack kernel does not support this config: {reason}")
+    plan, weights = _build_plan(cfg, params, T, batch)
+    state = {
+        "rings": [jnp.zeros(s, jnp.float32) for s in plan.ring_shapes],
+        "n": jnp.zeros((), jnp.int32),
+    }
+    eparams = {"weights": weights, "head_scale": jnp.asarray(params["head_scale"], jnp.float32)}
+    return eparams, state
+
+
+def step(cfg, T: int, eparams, state, x):
+    """Block step, engine CTB convention: x (Cin, T, B) -> (y (Cout, T, B), state')."""
+    B = x.shape[2]
+    plan, _ = _build_plan_cached(cfg, T, B)
+    W, nt, TW = plan.W, plan.nt, plan.T * plan.W
+
+    # slots vector: per ring layer, read slots then write slot
+    n = state["n"]
+    vals = []
+    for ap in plan.arrays:
+        for lp in ap.layers:
+            if lp.M:
+                for j in lp.js:
+                    vals.append(jax.lax.rem(n - j + 2 * lp.M, lp.M))
+                vals.append(jax.lax.rem(n, lp.M))
+    slots = (
+        jnp.stack(vals).astype(jnp.int32) if vals else jnp.zeros((1,), jnp.int32)
+    )
+
+    x2 = x.reshape(plan.Cin, T, nt, W).transpose(0, 2, 1, 3).reshape(plan.Cin, nt * TW)
+
+    weights = eparams["weights"]
+    rings = state["rings"]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec((plan.Cin, TW), lambda i, s: (0, i), memory_space=pltpu.VMEM)]
+        + [
+            pl.BlockSpec(w.shape, (lambda i, s, nd=w.ndim: (0,) * nd), memory_space=pltpu.VMEM)
+            for w in weights
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in rings],
+        out_specs=[pl.BlockSpec((plan.Cout, TW), lambda i, s: (0, i), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in rings],
+        scratch_shapes=list(plan.scratch_shapes),
+    )
+    # input operand r (0=slots, 1=x, 2..=weights, then rings) -> output 1+r
+    aliases = {2 + len(weights) + r: 1 + r for r in range(len(rings))}
+    out = pl.pallas_call(
+        _make_kernel(plan),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((plan.Cout, nt * TW), jnp.float32),
+            *[jax.ShapeDtypeStruct(r.shape, r.dtype) for r in rings],
+        ),
+        input_output_aliases=aliases,
+        interpret=INTERPRET,
+    )(slots, x2, *weights, *rings)
+    y2, new_rings = out[0], list(out[1:])
+
+    y = y2.reshape(plan.Cout, nt, T, W).transpose(0, 2, 1, 3).reshape(plan.Cout, T, B)
+    y = eparams["head_scale"] * y
+    return y, {"rings": new_rings, "n": n + 1}
+
+
+# Plans are static pure-Python; cache by config identity (configs are built
+# once per model and never mutated).
+_PLAN_CACHE: Dict[Tuple[int, int, int], Any] = {}
+
+
+def _build_plan_cached(cfg, T: int, B: int):
+    key = (id(cfg), T, B)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None and hit[2] is cfg:
+        return hit[0], hit[1]
+    plan, weights = _build_plan(cfg, _params_shape_only(cfg), T, B)
+    _PLAN_CACHE[key] = (plan, None, cfg)
+    return plan, None
+
+
+def _params_shape_only(cfg):
+    """Zero params with the right shapes — _build_plan only uses shapes to
+    assign weight indices; ``step`` never uses the weight VALUES from the
+    plan build (they come in via eparams)."""
+    arrays = []
+    for ac in cfg.layer_arrays:
+        layers = []
+        for li in range(ac.num_layers):
+            K = ac.kernel_sizes[li]
+            co = ac.conv_out_channels(li)
+            lp = {
+                "conv": {"w": np.zeros((K, ac.channels, co), np.float32), "b": np.zeros(co, np.float32)},
+                "mixin": {"w": np.zeros((ac.condition_size, co), np.float32)},
+            }
+            if ac.layer1x1_active:
+                lp["layer1x1"] = {
+                    "w": np.zeros((ac.bottleneck, ac.channels), np.float32),
+                    "b": np.zeros(ac.channels, np.float32),
+                }
+            if ac.head1x1_active:
+                lp["head1x1"] = {
+                    "w": np.zeros((ac.bottleneck, ac.head1x1_out_channels), np.float32),
+                    "b": np.zeros(ac.head1x1_out_channels, np.float32),
+                }
+            layers.append(lp)
+        a = {
+            "rechannel": {"w": np.zeros((ac.input_size, ac.channels), np.float32)},
+            "layers": layers,
+            "head_rechannel": {"w": np.zeros((1, ac.head_output_size, ac.head_size), np.float32)},
+        }
+        if ac.head_bias:
+            a["head_rechannel"]["b"] = np.zeros(ac.head_size, np.float32)
+        arrays.append(a)
+    return {"arrays": arrays, "head_scale": np.float32(0)}

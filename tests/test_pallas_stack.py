@@ -1,0 +1,180 @@
+"""Fused Pallas stack kernel vs XLA engine step equivalence.
+
+The third implementation tier (generic step / XLA engine / fused Pallas
+kernel) pinned to the other two — the analog of the reference's dual-build
+Eigen vs inline-GEMM equivalence CI (reference: .github/workflows/build.yml:
+38-44) and the A2-fast vs generic contract (tools/test/test_a2_fast.cpp:
+270-311). Runs the kernel in interpret mode on CPU; on-device agreement is
+additionally gated by cli.bench_engine.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import neuralampmodelercore_tpu as nam
+from neuralampmodelercore_tpu.models.engine import StreamEngine
+from neuralampmodelercore_tpu.ops.pallas import stack
+from neuralampmodelercore_tpu.tools.generate import make_nam
+from conftest import EXAMPLE_MODELS
+
+B = 128  # one lane tile — the smallest supported batch
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    stack.INTERPRET = True
+    yield
+    stack.INTERPRET = False
+
+
+def _run_equivalence(model, T, n_blocks=8, atol=2e-5, seed=0):
+    model.prewarm_on_reset = False
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal((B, n_blocks * T)) * 0.3).astype(np.float32)
+
+    ex = StreamEngine(model, batch=B, block_size=T, kernel="xla")
+    ep = StreamEngine(model, batch=B, block_size=T, kernel="pallas")
+    assert ex.kernel == "xla" and ep.kernel == "pallas"
+    sx = ex.reset(prewarm=False)
+    sp = ep.reset(prewarm=False)
+    for i in range(n_blocks):
+        blk = x[:, i * T : (i + 1) * T]
+        yx, sx = ex.process(blk, sx)
+        yp, sp = ep.process(blk, sp)
+        np.testing.assert_allclose(
+            np.asarray(yp), np.asarray(yx), atol=atol, err_msg=f"block {i} (T={T})"
+        )
+
+
+def _wavenet_model(config: dict, seed=7):
+    return nam.load_model(make_nam("WaveNet", config, seed=seed))
+
+
+def test_flagship_shape_T64():
+    """The flagship wavenet_a1_standard architecture: whole-chunk tap
+    windows (dilations are multiples of T) plus slab-path layers."""
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_a1_standard.nam"))
+    _run_equivalence(m, T=64, n_blocks=4)
+
+
+def test_flagship_shape_small_T_ring_wrap():
+    """T=16 makes deep dilations wrap the chunk FIFO many times and puts
+    every splice offset in play."""
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    _run_equivalence(m, T=16, n_blocks=12)
+
+
+def test_offset_splice_dilations():
+    """Dilations not aligned to T: every tap window is a two-chunk splice."""
+    config = {
+        "layers": [
+            {
+                "input_size": 1,
+                "condition_size": 1,
+                "channels": 8,
+                "head_size": 1,
+                "kernel_size": 3,
+                "dilations": [3, 12, 28, 52],
+                "activation": "Tanh",
+                "gated": False,
+                "head_bias": True,
+            }
+        ],
+        "head": None,
+    }
+    _run_equivalence(_wavenet_model(config), T=16, n_blocks=10)
+
+
+def test_gated_and_bottleneck():
+    config = {
+        "layers": [
+            {
+                "input_size": 1,
+                "condition_size": 1,
+                "channels": 8,
+                "bottleneck": 4,
+                "head_size": 4,
+                "kernel_size": 2,
+                "dilations": [1, 4, 16],
+                "activation": "Tanh",
+                "gated": True,
+                "head_bias": False,
+            },
+            {
+                "input_size": 8,
+                "condition_size": 1,
+                "channels": 4,
+                "head_size": 1,
+                "kernel_size": 3,
+                "dilations": [2, 8],
+                "activation": "ReLU",
+                "gated": False,
+                "head_bias": True,
+            },
+        ],
+        "head": None,
+    }
+    _run_equivalence(_wavenet_model(config), T=16, n_blocks=8)
+
+
+def test_blended_head1x1():
+    config = {
+        "layers": [
+            {
+                "input_size": 1,
+                "condition_size": 1,
+                "channels": 6,
+                "head_size": 1,
+                "kernel_sizes": [3, 3],
+                "dilations": [1, 5],
+                "activation": "Sigmoid",
+                "gating_mode": "blended",
+                "secondary_activation": "Hardtanh",
+                "head_bias": True,
+                "head1x1": {"active": True, "out_channels": 6, "groups": 1},
+            }
+        ],
+        "head": None,
+    }
+    _run_equivalence(_wavenet_model(config), T=8, n_blocks=10)
+
+
+def test_supports_gate():
+    """Unsupported configs are refused with a reason and StreamEngine falls
+    back to the XLA step."""
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_condition_dsp.nam"))
+    assert stack.supports(m.config, 64, B) is not None
+    with pytest.raises(ValueError, match="does not support"):
+        StreamEngine(m, batch=B, block_size=64, kernel="pallas")
+    eng = StreamEngine(m, batch=B, block_size=64, kernel="auto")
+    assert eng.kernel == "xla"
+    # batch gate
+    m2 = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    assert stack.supports(m2.config, 64, 96) is not None
+    assert stack.supports(m2.config, 64, 256) is None
+
+
+def test_engine_state_checkpoint_roundtrip():
+    """Pallas-engine ring state snapshots/restores exactly (the serializable
+    runtime-state extension, docs/deviations.md item 6)."""
+    from neuralampmodelercore_tpu.utils.checkpoint import load_state, save_state
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    m.prewarm_on_reset = False
+    eng = StreamEngine(m, batch=B, block_size=16, kernel="pallas")
+    st = eng.reset(prewarm=False)
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((B, 16)) * 0.3).astype(np.float32)
+    for _ in range(3):
+        _, st = eng.process(x, st)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "state.npz")
+        save_state(p, st)
+        st2 = load_state(p, like=st)
+    y1, _ = eng.process(x, st)
+    y2, _ = eng.process(x, st2)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
