@@ -53,7 +53,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import activations as act
 
-W_TILE = 128  # streams per kernel tile (one lane tile)
+W_TILE = 128  # minimum streams per kernel tile (one lane tile)
+
+
+def _pick_w(cfg, T: int, batch: int) -> int:
+    """Largest tile width (512/256/128 streams) that divides the batch and
+    keeps the kernel's VMEM footprint inside budget. Measured on v5e
+    (tools/ablate_pallas_stack.py): W=256 is ~30% faster than W=128 on the
+    flagship — fewer grid steps amortize per-tile DMA waits and stores."""
+    # dominant VMEM consumers, in units of (rows x T*W) f32 buffers: layer
+    # input scratch (2C), chunk scratch (2*nc*C), the stacked operand (K*C),
+    # live values (~4C: z/aout/next/hd). Budget calibrated on v5e: the
+    # flagship at W=256 (~14 MB by this count) compiles; W=512 does not.
+    rows = 0
+    for ac in cfg.layer_arrays:
+        for li in range(ac.num_layers):
+            K, d = ac.kernel_sizes[li], ac.dilations[li]
+            js = set()
+            for k in range(K):
+                a_lb = (K - 1 - k) * d
+                if a_lb == 0:
+                    continue
+                j, o = divmod(a_lb, T)
+                js.update((j,) if o == 0 else ((j + 1, j) if j >= 1 else (j + 1,)))
+            nc = len(js)
+            rows = max(rows, (2 + 2 * nc + K + 4) * ac.channels)
+    budget = 16 * (1 << 20)
+    for w in (512, 256, 128):
+        if batch % w == 0 and rows * T * w * 4 <= budget:
+            return w
+    return W_TILE
 
 # Interpret mode for CPU testing (tests/test_pallas_stack.py sets this).
 INTERPRET = False
@@ -163,7 +192,7 @@ def _build_plan(cfg, params, T: int, batch: int):
     """Static plan + flat weight list. Deterministic given (cfg, T, batch)."""
     if batch % W_TILE:
         raise ValueError(f"batch must be a multiple of {W_TILE}")
-    W = W_TILE
+    W = _pick_w(cfg, T, batch)
     nt = batch // W
     TW = T * W
 

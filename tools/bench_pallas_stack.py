@@ -25,8 +25,7 @@ def _sync(y):
     return float(jnp.sum(y[0, 0]))
 
 
-def agreement(model):
-    B = 128
+def agreement(model, B):
     ex = StreamEngine(model, batch=B, block_size=T, kernel="xla")
     ep = StreamEngine(model, batch=B, block_size=T, kernel="pallas")
     sx = ex.reset(prewarm=False)
@@ -38,7 +37,7 @@ def agreement(model):
         yx, sx = ex.process(blk, sx)
         yp, sp = ep.process(blk, sp)
         worst = max(worst, float(np.abs(np.asarray(yx) - np.asarray(yp)).max()))
-    print(f"agreement over 40 blocks (B=128): max abs diff = {worst:.2e} (gate 5e-5)")
+    print(f"agreement over 40 blocks (B={B}): max abs diff = {worst:.2e} (gate 5e-5)")
     return worst
 
 
@@ -70,12 +69,11 @@ def main():
     print("device:", jax.devices())
     model = nam.load_model(MODEL)
     model.prewarm_on_reset = False
-    worst = agreement(model)
-    assert worst < 5e-5, "agreement gate FAILED"
-    for B in (1024, 2048):
-        bench(model, B, "xla")
-        bench(model, B, "pallas")
-    for B in (4096, 8192):
+    for Bagree in (128, 256):  # exercises both W=128 and W=256 tile kernels
+        worst = agreement(model, Bagree)
+        assert worst < 5e-5, "agreement gate FAILED"
+    bench(model, 1024, "xla")
+    for B in (1024, 2048, 2304, 2560, 3072):
         bench(model, B, "pallas")
 
 
