@@ -53,14 +53,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import activations as act
 
-W_TILE = 128  # minimum streams per kernel tile (one lane tile)
+W_TILE = 128  # streams per half-tile (one lane tile)
 
 
 def _pick_w(cfg, T: int, batch: int) -> int:
     """Largest tile width (512/256/128 streams) that divides the batch and
     keeps the kernel's VMEM footprint inside budget. Measured on v5e
-    (tools/ablate_pallas_stack.py): W=256 is ~30% faster than W=128 on the
-    flagship — fewer grid steps amortize per-tile DMA waits and stores."""
+    (tools/ablate_pallas_stack.py): 256-stream tiles are ~30% faster than
+    128 on the flagship — fewer grid steps amortize per-tile DMA waits and
+    stores. A tile is processed as H = width/128 half-tiles of 128 streams
+    whose compute stages are software-pipelined against each other (heavy
+    VPU activations of one half overlap MXU dots of the next)."""
     # dominant VMEM consumers, in units of (rows x T*W) f32 buffers: layer
     # input scratch (2C), chunk scratch (2*nc*C), the stacked operand (K*C),
     # live values (~4C: z/aout/next/hd). Budget calibrated on v5e: the
@@ -82,7 +85,7 @@ def _pick_w(cfg, T: int, batch: int) -> int:
     for w in (512, 256, 128):
         if batch % w == 0 and rows * T * w * 4 <= budget:
             return w
-    return W_TILE
+    return 0  # not even a 128-stream tile fits: caller must fall back
 
 # Interpret mode for CPU testing (tests/test_pallas_stack.py sets this).
 INTERPRET = False
@@ -144,8 +147,9 @@ class _ArrayPlan:
 @dataclasses.dataclass(frozen=True)
 class _Plan:
     T: int
-    W: int
-    nt: int
+    W: int  # streams per half-tile (always 128)
+    H: int  # half-tiles per grid step
+    nt: int  # grid size (batch // (H*W))
     Cin: int
     Cout: int
     n_weights: int
@@ -183,8 +187,8 @@ def supports(cfg, T: int, batch: int) -> Optional[str]:
         for a_cfg in list(ac.activations) + list(ac.secondary_activations):
             if a_cfg.type in act._luts:
                 return f"LUT-mode activation {a_cfg.type}"
-            if a_cfg.type == "Tanh" and act.using_fast_tanh and "Tanh" in act._luts:
-                return "LUT fast-tanh"
+    if _pick_w(cfg, T, batch) == 0:
+        return f"VMEM budget exceeded at T={T} (block too large for the fused kernel)"
     return None
 
 
@@ -192,9 +196,13 @@ def _build_plan(cfg, params, T: int, batch: int):
     """Static plan + flat weight list. Deterministic given (cfg, T, batch)."""
     if batch % W_TILE:
         raise ValueError(f"batch must be a multiple of {W_TILE}")
-    W = _pick_w(cfg, T, batch)
-    nt = batch // W
-    TW = T * W
+    width = _pick_w(cfg, T, batch)
+    if width == 0:
+        raise ValueError(f"fused kernel VMEM budget exceeded at T={T}")
+    W = W_TILE
+    H = width // W
+    nt = batch // width
+    TW = T * width  # columns per grid tile (H half-tiles of T*W)
 
     weights: List[jnp.ndarray] = []
     scratch: List[Any] = []
@@ -291,7 +299,7 @@ def _build_plan(cfg, params, T: int, batch: int):
         )
 
     plan = _Plan(
-        T=T, W=W, nt=nt, Cin=cfg.in_channels, Cout=cfg.out_channels_,
+        T=T, W=W, H=H, nt=nt, Cin=cfg.in_channels, Cout=cfg.out_channels_,
         n_weights=len(weights), n_rings=len(ring_shapes),
         n_slots=max(n_slots, 1),
         arrays=tuple(arrays), ring_shapes=tuple(ring_shapes),
@@ -328,7 +336,11 @@ def _small_dot(w, x):
 
 def _make_kernel(plan: _Plan):
     NW, NR = plan.n_weights, plan.n_rings
-    T, W = plan.T, plan.W
+    T, W, H = plan.T, plan.W, plan.H
+    TWh = T * W  # columns per half-tile
+
+    def hslice(v, h):
+        return v[:, h * TWh : (h + 1) * TWh]
 
     def kernel(slots_ref, *refs):
         x_ref = refs[0]
@@ -339,12 +351,13 @@ def _make_kernel(plan: _Plan):
         scr = refs[2 + NW + 2 * NR :]
         i = pl.program_id(0)
 
-        cond = x_ref[:]  # (Cin, TW) — condition == raw input (gate: no cond DSP)
-        prev_out = cond
-        head_acc = None
+        x_full = x_ref[:]  # (Cin, H*TWh) — condition == raw input (no cond DSP)
+        cond = [hslice(x_full, h) for h in range(H)]
+        prev_out = list(cond)
+        head_acc = [None] * H
 
         for ap in plan.arrays:
-            cur = scr[ap.cur_scr]  # (2, C, TW) layer-input scratch
+            cur = scr[ap.cur_scr]  # (2, C, H*TWh) layer-input scratch
             chunks = scr[ap.chunk_scr] if ap.chunk_scr >= 0 else None
             rsem = scr[ap.rsem] if ap.rsem >= 0 else None
             wsem = scr[ap.wsem]
@@ -363,14 +376,17 @@ def _make_kernel(plan: _Plan):
                 return ds
 
             # rechannel -> layer 0 input
-            cur[0] = _small_dot(wr[ap.rech_w][:], prev_out)
+            for h in range(H):
+                cur[0, :, h * TWh : (h + 1) * TWh] = _small_dot(wr[ap.rech_w][:], prev_out[h])
             reads = issue_reads(0) if ap.layers and ap.layers[0].js else []
 
             for li, lp in enumerate(ap.layers):
                 p = li % 2
+                last = li + 1 == ap.L
+                pn = (li + 1) % 2
                 for dma in reads:
                     dma.wait()
-                xin = cur[p]  # (C, TW) value
+                xin = cur[p]  # (C, H*TWh) value
 
                 # ring write: this layer's input becomes history (in place,
                 # aliased output; write slot never collides with read slots)
@@ -380,73 +396,109 @@ def _make_kernel(plan: _Plan):
                     wd.start()
                     pending_w[p] = wd
 
+                # one-layer read lookahead: start the next layer's chunk DMAs
+                # before this layer's compute (their parity buffers are free)
+                if not last and ap.layers[li + 1].js:
+                    reads = issue_reads(li + 1)
+                else:
+                    reads = []
+
+                # free cur[pn] for this layer's output stores
+                if not last and pending_w[pn] is not None:
+                    pending_w[pn].wait()
+                    pending_w[pn] = None
+
                 def chunk_val(j, li=li, lp=lp, xin=xin):
                     if j == 0:
                         return xin
                     return chunks[li % 2, lp.js.index(j)]
 
-                wins = []
-                for a_lb in lp.lookbacks:
-                    if a_lb == 0:
-                        wins.append(xin)
-                        continue
-                    j, o = divmod(a_lb, T)
-                    if o == 0:
-                        wins.append(chunk_val(j))
-                    else:
-                        left = chunk_val(j + 1)[:, (T - o) * W :]
-                        right = chunk_val(j)[:, : (T - o) * W]
-                        wins.append(jnp.concatenate([left, right], axis=1))
+                # ---- per-half compute stages, software-pipelined so that
+                # one half's heavy VPU activation overlaps the sibling
+                # half's MXU dots (the single biggest serial cost: exact
+                # tanh measured ~40% of the step, tools/ablate_pallas_stack.py)
+                ctx = [dict() for _ in range(H)]
 
-                # one-layer read lookahead: start the next layer's chunk DMAs
-                # before this layer's compute
-                if li + 1 < ap.L and ap.layers[li + 1].js:
-                    reads = issue_reads(li + 1)
-                else:
-                    reads = []
-
-                stacked = jnp.concatenate(wins, axis=0) if len(wins) > 1 else wins[0]
-                z = _dot(wr[lp.conv_w][:], stacked) + wr[lp.conv_b][:]
-                z = z + _small_dot(wr[lp.mixin_w][:], cond)
-
-                bn = lp.bn
-                if lp.gating == NONE:
-                    aout = act.apply(lp.act1, z, channel_axis=0)
-                elif lp.gating == GATED:
-                    aout = act.apply(lp.act1, z[:bn], channel_axis=0) * act.apply(
-                        lp.act2, z[bn:], channel_axis=0
+                def st_assemble(h, lp=lp, xin=xin, chunk_val=chunk_val, ctx=ctx):
+                    wins = []
+                    for a_lb in lp.lookbacks:
+                        if a_lb == 0:
+                            wins.append(hslice(xin, h))
+                            continue
+                        j, o = divmod(a_lb, T)
+                        if o == 0:
+                            wins.append(hslice(chunk_val(j), h))
+                        else:
+                            left = hslice(chunk_val(j + 1), h)[:, (T - o) * W :]
+                            right = hslice(chunk_val(j), h)[:, : (T - o) * W]
+                            wins.append(jnp.concatenate([left, right], axis=1))
+                    ctx[h]["stacked"] = (
+                        jnp.concatenate(wins, axis=0) if len(wins) > 1 else wins[0]
                     )
-                else:  # BLENDED
-                    alpha = act.apply(lp.act2, z[bn:], channel_axis=0)
-                    aout = alpha * act.apply(lp.act1, z[:bn], channel_axis=0) + (1.0 - alpha) * z[:bn]
 
-                if lp.l1_w >= 0:
-                    nxt = xin + (_dot(wr[lp.l1_w][:], aout) + wr[lp.l1_b][:])
-                else:
-                    nxt = xin
+                def st_conv(h, lp=lp, ctx=ctx):
+                    ctx[h]["z"] = _dot(wr[lp.conv_w][:], ctx[h].pop("stacked"))
 
-                hd = aout if lp.h1_w < 0 else _dot(wr[lp.h1_w][:], aout) + wr[lp.h1_b][:]
-                head_acc = hd if head_acc is None else head_acc + hd
+                def st_epilogue(h, lp=lp, ctx=ctx):
+                    ctx[h]["z"] = (
+                        ctx[h]["z"] + wr[lp.conv_b][:] + _small_dot(wr[lp.mixin_w][:], cond[h])
+                    )
 
-                if li + 1 < ap.L:
-                    pn = (li + 1) % 2
-                    if pending_w[pn] is not None:
-                        pending_w[pn].wait()
-                        pending_w[pn] = None
-                    cur[pn] = nxt
-                else:
-                    prev_out = nxt
+                def st_act(h, lp=lp, ctx=ctx):
+                    z = ctx[h].pop("z")
+                    bn = lp.bn
+                    if lp.gating == NONE:
+                        aout = act.apply(lp.act1, z, channel_axis=0)
+                    elif lp.gating == GATED:
+                        aout = act.apply(lp.act1, z[:bn], channel_axis=0) * act.apply(
+                            lp.act2, z[bn:], channel_axis=0
+                        )
+                    else:  # BLENDED
+                        alpha = act.apply(lp.act2, z[bn:], channel_axis=0)
+                        aout = (
+                            alpha * act.apply(lp.act1, z[:bn], channel_axis=0)
+                            + (1.0 - alpha) * z[:bn]
+                        )
+                    ctx[h]["a"] = aout
+
+                def st_l1(h, lp=lp, ctx=ctx):
+                    if lp.l1_w >= 0:
+                        ctx[h]["l1"] = _dot(wr[lp.l1_w][:], ctx[h]["a"]) + wr[lp.l1_b][:]
+
+                def st_tail(h, lp=lp, li=li, xin=xin, ctx=ctx, last=last, pn=pn):
+                    aout = ctx[h].pop("a")
+                    nxt = hslice(xin, h)
+                    if lp.l1_w >= 0:
+                        nxt = nxt + ctx[h].pop("l1")
+                    hd = aout if lp.h1_w < 0 else _dot(wr[lp.h1_w][:], aout) + wr[lp.h1_b][:]
+                    head_acc[h] = hd if head_acc[h] is None else head_acc[h] + hd
+                    if last:
+                        prev_out[h] = nxt
+                    else:
+                        cur[pn, :, h * TWh : (h + 1) * TWh] = nxt
+
+                stages = (st_assemble, st_conv, st_epilogue, st_act, st_l1, st_tail)
+                # wavefront order: stage s of half h runs at wave s + h, so
+                # (act, h) sits next to (conv/l1, h+1) in issue order
+                for wave in range(len(stages) + H - 1):
+                    for h in range(H):
+                        s = wave - h
+                        if 0 <= s < len(stages):
+                            stages[s](h)
 
             for p in (0, 1):
                 if pending_w[p] is not None:
                     pending_w[p].wait()
 
             # head rechannel (k=1 by the capability gate)
-            head_acc = _dot(wr[ap.hr_w][:], head_acc)
-            if ap.hr_b >= 0:
-                head_acc = head_acc + wr[ap.hr_b][:]
+            for h in range(H):
+                ha = _dot(wr[ap.hr_w][:], head_acc[h])
+                if ap.hr_b >= 0:
+                    ha = ha + wr[ap.hr_b][:]
+                head_acc[h] = ha
 
-        y_ref[:] = head_acc
+        for h in range(H):
+            y_ref[:, h * TWh : (h + 1) * TWh] = head_acc[h]
 
     return kernel
 
@@ -474,7 +526,8 @@ def step(cfg, T: int, eparams, state, x):
     """Block step, engine CTB convention: x (Cin, T, B) -> (y (Cout, T, B), state')."""
     B = x.shape[2]
     plan, _ = _build_plan_cached(cfg, T, B)
-    W, nt, TW = plan.W, plan.nt, plan.T * plan.W
+    W, H, nt = plan.W, plan.H, plan.nt
+    TW = H * T * W  # columns per grid tile
 
     # slots vector: per ring layer, read slots then write slot
     n = state["n"]
@@ -489,7 +542,9 @@ def step(cfg, T: int, eparams, state, x):
         jnp.stack(vals).astype(jnp.int32) if vals else jnp.zeros((1,), jnp.int32)
     )
 
-    x2 = x.reshape(plan.Cin, T, nt, W).transpose(0, 2, 1, 3).reshape(plan.Cin, nt * TW)
+    # global layout: 128-stream tiles on columns (col = tile128*T*W + t*W + w);
+    # each grid step covers H consecutive 128-tiles as one contiguous block
+    x2 = x.reshape(plan.Cin, T, nt * H, W).transpose(0, 2, 1, 3).reshape(plan.Cin, nt * TW)
 
     weights = eparams["weights"]
     rings = state["rings"]
@@ -520,7 +575,7 @@ def step(cfg, T: int, eparams, state, x):
     )(slots, x2, *weights, *rings)
     y2, new_rings = out[0], list(out[1:])
 
-    y = y2.reshape(plan.Cout, nt, T, W).transpose(0, 2, 1, 3).reshape(plan.Cout, T, B)
+    y = y2.reshape(plan.Cout, nt * H, T, W).transpose(0, 2, 1, 3).reshape(plan.Cout, T, B)
     y = eparams["head_scale"] * y
     return y, {"rings": new_rings, "n": n + 1}
 

@@ -141,6 +141,18 @@ def test_blended_head1x1():
     _run_equivalence(_wavenet_model(config), T=8, n_blocks=10)
 
 
+def test_two_half_tiles_wavefront():
+    """B=256 engages H=2 half-tiles with the stage-interleaved wavefront."""
+    global B
+    old = B
+    try:
+        globals()["B"] = 256
+        m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+        _run_equivalence(m, T=16, n_blocks=8)
+    finally:
+        globals()["B"] = old
+
+
 def test_supports_gate():
     """Unsupported configs are refused with a reason and StreamEngine falls
     back to the XLA step."""
