@@ -55,19 +55,19 @@ from .. import activations as act
 
 W_TILE = 128  # streams per half-tile (one lane tile)
 
+# VMEM budget for the footprint model below. v5e/v5p cores have 128 MB of
+# VMEM; Mosaic's *default* scoped limit is only 16 MB, so `step` raises it
+# via CompilerParams(vmem_limit_bytes=VMEM_LIMIT). The budget leaves
+# headroom for Mosaic-internal scratch and the double-buffered in/out grid
+# blocks that the footprint model doesn't count.
+VMEM_LIMIT = 128 * (1 << 20)
+VMEM_BUDGET = 96 * (1 << 20)
 
-def _pick_w(cfg, T: int, batch: int) -> int:
-    """Largest tile width (512/256/128 streams) that divides the batch and
-    keeps the kernel's VMEM footprint inside budget. Measured on v5e
-    (tools/ablate_pallas_stack.py): 256-stream tiles are ~30% faster than
-    128 on the flagship — fewer grid steps amortize per-tile DMA waits and
-    stores. A tile is processed as H = width/128 half-tiles of 128 streams
-    whose compute stages are software-pipelined against each other (heavy
-    VPU activations of one half overlap MXU dots of the next)."""
-    # dominant VMEM consumers, in units of (rows x T*W) f32 buffers: layer
-    # input scratch (2C), chunk scratch (2*nc*C), the stacked operand (K*C),
-    # live values (~4C: z/aout/next/hd). Budget calibrated on v5e: the
-    # flagship at W=256 (~14 MB by this count) compiles; W=512 does not.
+
+def _footprint_rows(cfg, T: int) -> int:
+    """Worst-layer VMEM footprint in units of (rows x T*W) f32 buffers:
+    layer input scratch (2C), chunk scratch (2*nc*C), the stacked operand
+    (K*C), live values (~4C: z/aout/next/hd)."""
     rows = 0
     for ac in cfg.layer_arrays:
         for li in range(ac.num_layers):
@@ -81,9 +81,20 @@ def _pick_w(cfg, T: int, batch: int) -> int:
                 js.update((j,) if o == 0 else ((j + 1, j) if j >= 1 else (j + 1,)))
             nc = len(js)
             rows = max(rows, (2 + 2 * nc + K + 4) * ac.channels)
-    budget = 16 * (1 << 20)
+    return rows
+
+
+def _pick_w(cfg, T: int, batch: int) -> int:
+    """Largest tile width (512/256/128 streams) that divides the batch and
+    keeps the kernel's VMEM footprint inside budget. Measured on v5e
+    (tools/ablate_pallas_stack.py): 256-stream tiles are ~30% faster than
+    128 on the flagship — fewer grid steps amortize per-tile DMA waits and
+    stores. A tile is processed as H = width/128 half-tiles of 128 streams
+    whose compute stages are software-pipelined against each other (heavy
+    VPU activations of one half overlap MXU dots of the next)."""
+    rows = _footprint_rows(cfg, T)
     for w in (512, 256, 128):
-        if batch % w == 0 and rows * T * w * 4 <= budget:
+        if batch % w == 0 and rows * T * w * 4 <= VMEM_BUDGET:
             return w
     return 0  # not even a 128-stream tile fits: caller must fall back
 
@@ -571,6 +582,7 @@ def step(cfg, T: int, eparams, state, x):
             *[jax.ShapeDtypeStruct(r.shape, r.dtype) for r in rings],
         ),
         input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
     )(slots, x2, *weights, *rings)
     y2, new_rings = out[0], list(out[1:])
