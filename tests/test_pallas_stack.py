@@ -190,3 +190,24 @@ def test_engine_state_checkpoint_roundtrip():
     y1, _ = eng.process(x, st)
     y2, _ = eng.process(x, st2)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_tile_width_budget_model():
+    """Pin the VMEM tile-width picker to the on-device sweep results
+    (tools/sweep_vmem_tiles.py, v5e): configs the budget admits all compile,
+    and the one it rejects (flagship T=240 W=512, est ~128 MB) OOMs at the
+    Mosaic limit. Flagship footprint: worst layer K=3, nc chunk reads as
+    below -> rows = (2 + 2*nc + K + 4) * 16."""
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_a1_standard.nam"))
+    cfg = m.config
+    # T=128: dilations all divide into whole chunks -> nc=2, rows=208
+    assert stack._footprint_rows(cfg, 128) == 208
+    # T=240: offset splices double the chunk reads -> nc=4, rows=272
+    assert stack._footprint_rows(cfg, 240) == 272
+    assert stack._pick_w(cfg, 64, 2048) == 512     # 26 MB
+    assert stack._pick_w(cfg, 128, 2048) == 512    # 52 MB
+    assert stack._pick_w(cfg, 240, 2048) == 256    # 64 MB; 512 would be 128 MB
+    assert stack._pick_w(cfg, 240, 2048 + 256) == 256  # width must divide batch
+    assert stack._pick_w(cfg, 128, 128) == 128
+    # budget never admits a footprint beyond the raised Mosaic limit
+    assert 272 * 240 * 256 * 4 <= stack.VMEM_BUDGET < stack.VMEM_LIMIT
