@@ -16,6 +16,14 @@ VMEM-resident:
   - ring state is updated in place via aliased kernel outputs (the TPU
     analog of the reference's constant-cost pow2 rings,
     NAM/wavenet/a2_fast.cpp:340-402) — O(T) write traffic per layer;
+  - shallow layers (receptive field rf <= T) carry only a TAIL of rf
+    columns instead of full T-column ring chunks: their windows never look
+    further back than the previous block's last rf samples, so storing /
+    fetching whole chunks wastes (T - rf)/T of the traffic. On the flagship
+    (dilations 1..512) 6-7 of every 10 layers are shallow at T=128, and the
+    tail path removes ~40% of the kernel's HBM traffic exactly (no precision
+    change). This is the TPU analog of sizing each reference ring buffer to
+    its own receptive field (NAM/conv1d.cpp:122-143) rather than the block;
   - dots run at f32-exact precision (Mosaic's default f32 dot is a single
     bf16 pass, ~9e-2 absolute error on unit-variance operands — measured,
     rejected; HIGHEST is ~3e-6).
@@ -67,19 +75,24 @@ VMEM_BUDGET = 96 * (1 << 20)
 def _footprint_rows(cfg, T: int) -> int:
     """Worst-layer VMEM footprint in units of (rows x T*W) f32 buffers:
     layer input scratch (2C), chunk scratch (2*nc*C), the stacked operand
-    (K*C), live values (~4C: z/aout/next/hd)."""
+    (K*C), live values (~4C: z/aout/next/hd). Tail layers (rf <= T) use one
+    chunk buffer."""
     rows = 0
     for ac in cfg.layer_arrays:
         for li in range(ac.num_layers):
             K, d = ac.kernel_sizes[li], ac.dilations[li]
-            js = set()
-            for k in range(K):
-                a_lb = (K - 1 - k) * d
-                if a_lb == 0:
-                    continue
-                j, o = divmod(a_lb, T)
-                js.update((j,) if o == 0 else ((j + 1, j) if j >= 1 else (j + 1,)))
-            nc = len(js)
+            rf = (K - 1) * d
+            if 0 < rf <= T:
+                nc = 1
+            else:
+                js = set()
+                for k in range(K):
+                    a_lb = (K - 1 - k) * d
+                    if a_lb == 0:
+                        continue
+                    j, o = divmod(a_lb, T)
+                    js.update((j,) if o == 0 else ((j + 1, j) if j >= 1 else (j + 1,)))
+                nc = len(js)
             rows = max(rows, (2 + 2 * nc + K + 4) * ac.channels)
     return rows
 
@@ -118,10 +131,12 @@ class _LayerPlan:
     d: int
     conv_out: int
     bn: int
+    rf: int  # receptive field (K-1)*d
     lookbacks: Tuple[int, ...]  # per tap, k ascending => lookback descending
     js: Tuple[int, ...]  # distinct past-chunk indices to fetch (all >= 1)
     M: int  # ring slots (0 => no ring)
     ring: int  # ring index (-1 => none)
+    tail: int  # tail-state index for shallow layers (rf <= T); -1 => none
     slot_base: int  # offset into the slots vector (-1 => none)
     conv_w: int
     conv_b: int
@@ -165,9 +180,11 @@ class _Plan:
     Cout: int
     n_weights: int
     n_rings: int
+    n_tails: int
     n_slots: int
     arrays: Tuple[_ArrayPlan, ...]
     ring_shapes: Tuple[Tuple[int, int, int, int], ...]
+    tail_shapes: Tuple[Tuple[int, int, int], ...]  # (nt, C, H*rf*W)
     scratch_shapes: Tuple[Any, ...]
 
 
@@ -218,6 +235,7 @@ def _build_plan(cfg, params, T: int, batch: int):
     weights: List[jnp.ndarray] = []
     scratch: List[Any] = []
     ring_shapes: List[Tuple[int, int, int, int]] = []
+    tail_shapes: List[Tuple[int, int, int]] = []
     arrays: List[_ArrayPlan] = []
     n_slots = 0
 
@@ -238,27 +256,32 @@ def _build_plan(cfg, params, T: int, batch: int):
             conv_out = ac.conv_out_channels(li)
             rf = (K - 1) * d
             lookbacks = tuple((K - 1 - k) * d for k in range(K))
-            js: set = set()
-            for a_lb in lookbacks:
-                if a_lb == 0:
-                    continue
-                j, o = divmod(a_lb, T)
-                if o == 0:
-                    js.add(j)
-                else:
-                    js.add(j + 1)
-                    if j >= 1:
+            M, ring, tail, slot_base = 0, -1, -1, -1
+            js_t: Tuple[int, ...] = ()
+            if 0 < rf <= T:
+                # Shallow layer: carry only the last rf columns as state.
+                tail = len(tail_shapes)
+                tail_shapes.append((nt, C, H * rf * W))
+                n_chunk_bufs = max(n_chunk_bufs, 1)
+            elif rf > 0:
+                js: set = set()
+                for a_lb in lookbacks:
+                    if a_lb == 0:
+                        continue
+                    j, o = divmod(a_lb, T)
+                    if o == 0:
                         js.add(j)
-            js_t = tuple(sorted(js))
-            if rf > 0:
+                    else:
+                        js.add(j + 1)
+                        if j >= 1:
+                            js.add(j)
+                js_t = tuple(sorted(js))
                 M = rf // T + 2
                 ring = len(ring_shapes)
                 ring_shapes.append((M, nt, C, TW))
                 slot_base = n_slots
                 n_slots += len(js_t) + 1  # reads + write slot
-            else:
-                M, ring, slot_base = 0, -1, -1
-            n_chunk_bufs = max(n_chunk_bufs, len(js_t))
+                n_chunk_bufs = max(n_chunk_bufs, len(js_t))
 
             w = np.asarray(lp["conv"]["w"])  # (K, C, conv_out)
             conv_w = add_w(w.transpose(2, 0, 1).reshape(conv_out, K * C))
@@ -273,8 +296,8 @@ def _build_plan(cfg, params, T: int, batch: int):
                 h1_b = add_w(np.asarray(lp["head1x1"]["b"])[:, None])
             layer_plans.append(
                 _LayerPlan(
-                    K=K, d=d, conv_out=conv_out, bn=ac.bottleneck,
-                    lookbacks=lookbacks, js=js_t, M=M, ring=ring,
+                    K=K, d=d, conv_out=conv_out, bn=ac.bottleneck, rf=rf,
+                    lookbacks=lookbacks, js=js_t, M=M, ring=ring, tail=tail,
                     slot_base=slot_base, conv_w=conv_w, conv_b=conv_b,
                     mixin_w=mixin_w, l1_w=l1_w, l1_b=l1_b, h1_w=h1_w, h1_b=h1_b,
                     gating=ac.gating_modes[li],
@@ -295,8 +318,10 @@ def _build_plan(cfg, params, T: int, batch: int):
             scratch.append(pltpu.SemaphoreType.DMA((2, max(n_chunk_bufs, 1))))
         else:
             chunk_scr = rsem = -1
+        # Write semaphores: [p, 0..H-1] for per-half tail writes, [p, H] for
+        # the full-chunk ring write.
         wsem = len(scratch)
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        scratch.append(pltpu.SemaphoreType.DMA((2, H + 1)))
 
         arrays.append(
             _ArrayPlan(
@@ -312,8 +337,10 @@ def _build_plan(cfg, params, T: int, batch: int):
     plan = _Plan(
         T=T, W=W, H=H, nt=nt, Cin=cfg.in_channels, Cout=cfg.out_channels_,
         n_weights=len(weights), n_rings=len(ring_shapes),
+        n_tails=len(tail_shapes),
         n_slots=max(n_slots, 1),
         arrays=tuple(arrays), ring_shapes=tuple(ring_shapes),
+        tail_shapes=tuple(tail_shapes),
         scratch_shapes=tuple(scratch),
     )
     return plan, weights
@@ -346,7 +373,7 @@ def _small_dot(w, x):
 
 
 def _make_kernel(plan: _Plan):
-    NW, NR = plan.n_weights, plan.n_rings
+    NW, NR, NT = plan.n_weights, plan.n_rings, plan.n_tails
     T, W, H = plan.T, plan.W, plan.H
     TWh = T * W  # columns per half-tile
 
@@ -357,9 +384,11 @@ def _make_kernel(plan: _Plan):
         x_ref = refs[0]
         wr = refs[1 : 1 + NW]
         rr = refs[1 + NW : 1 + NW + NR]
-        y_ref = refs[1 + NW + NR]
-        ro = refs[2 + NW + NR : 2 + NW + 2 * NR]
-        scr = refs[2 + NW + 2 * NR :]
+        ti = refs[1 + NW + NR : 1 + NW + NR + NT]
+        y_ref = refs[1 + NW + NR + NT]
+        ro = refs[2 + NW + NR + NT : 2 + NW + 2 * NR + NT]
+        to = refs[2 + NW + 2 * NR + NT : 2 + NW + 2 * NR + 2 * NT]
+        scr = refs[2 + NW + 2 * NR + 2 * NT :]
         i = pl.program_id(0)
 
         x_full = x_ref[:]  # (Cin, H*TWh) — condition == raw input (no cond DSP)
@@ -372,11 +401,22 @@ def _make_kernel(plan: _Plan):
             chunks = scr[ap.chunk_scr] if ap.chunk_scr >= 0 else None
             rsem = scr[ap.rsem] if ap.rsem >= 0 else None
             wsem = scr[ap.wsem]
-            pending_w = {0: None, 1: None}
+            pending_w = {0: [], 1: []}
 
             def issue_reads(li):
                 lp = ap.layers[li]
                 ds = []
+                if lp.tail >= 0:
+                    # one contiguous DMA: the whole (C, H*rf*W) tail into the
+                    # front columns of chunk buffer 0
+                    dma = pltpu.make_async_copy(
+                        ti[lp.tail].at[i],
+                        chunks.at[li % 2, 0, :, pl.ds(0, H * lp.rf * W)],
+                        rsem.at[li % 2, 0],
+                    )
+                    dma.start()
+                    ds.append(dma)
+                    return ds
                 for bi, j in enumerate(lp.js):
                     s = slots_ref[lp.slot_base + bi]
                     dma = pltpu.make_async_copy(
@@ -386,10 +426,13 @@ def _make_kernel(plan: _Plan):
                     ds.append(dma)
                 return ds
 
+            def needs_read(lp):
+                return bool(lp.js) or lp.tail >= 0
+
             # rechannel -> layer 0 input
             for h in range(H):
                 cur[0, :, h * TWh : (h + 1) * TWh] = _small_dot(wr[ap.rech_w][:], prev_out[h])
-            reads = issue_reads(0) if ap.layers and ap.layers[0].js else []
+            reads = issue_reads(0) if ap.layers and needs_read(ap.layers[0]) else []
 
             for li, lp in enumerate(ap.layers):
                 p = li % 2
@@ -399,25 +442,39 @@ def _make_kernel(plan: _Plan):
                     dma.wait()
                 xin = cur[p]  # (C, H*TWh) value
 
-                # ring write: this layer's input becomes history (in place,
-                # aliased output; write slot never collides with read slots)
-                if lp.M:
+                # state write: this layer's input becomes history (in place,
+                # aliased outputs; ring write slot never collides with read
+                # slots; the tail read above completed before this write)
+                if lp.tail >= 0:
+                    rfW = lp.rf * W
+                    for h in range(H):
+                        wd = pltpu.make_async_copy(
+                            cur.at[p, :, pl.ds(h * TWh + (T - lp.rf) * W, rfW)],
+                            to[lp.tail].at[i, :, pl.ds(h * rfW, rfW)],
+                            wsem.at[p, h],
+                        )
+                        wd.start()
+                        pending_w[p].append(wd)
+                elif lp.M:
                     wslot = slots_ref[lp.slot_base + len(lp.js)]
-                    wd = pltpu.make_async_copy(cur.at[p], ro[lp.ring].at[wslot, i], wsem.at[p])
+                    wd = pltpu.make_async_copy(
+                        cur.at[p], ro[lp.ring].at[wslot, i], wsem.at[p, H]
+                    )
                     wd.start()
-                    pending_w[p] = wd
+                    pending_w[p].append(wd)
 
                 # one-layer read lookahead: start the next layer's chunk DMAs
                 # before this layer's compute (their parity buffers are free)
-                if not last and ap.layers[li + 1].js:
+                if not last and needs_read(ap.layers[li + 1]):
                     reads = issue_reads(li + 1)
                 else:
                     reads = []
 
                 # free cur[pn] for this layer's output stores
-                if not last and pending_w[pn] is not None:
-                    pending_w[pn].wait()
-                    pending_w[pn] = None
+                if not last:
+                    for wd in pending_w[pn]:
+                        wd.wait()
+                    pending_w[pn] = []
 
                 def chunk_val(j, li=li, lp=lp, xin=xin):
                     if j == 0:
@@ -430,11 +487,29 @@ def _make_kernel(plan: _Plan):
                 # tanh measured ~40% of the step, tools/ablate_pallas_stack.py)
                 ctx = [dict() for _ in range(H)]
 
-                def st_assemble(h, lp=lp, xin=xin, chunk_val=chunk_val, ctx=ctx):
+                def st_assemble(h, lp=lp, li=li, xin=xin, chunk_val=chunk_val, ctx=ctx):
                     wins = []
                     for a_lb in lp.lookbacks:
                         if a_lb == 0:
                             wins.append(hslice(xin, h))
+                            continue
+                        if lp.tail >= 0:
+                            # window = [tail's last a_lb cols, block's first
+                            # T - a_lb cols]
+                            base = h * lp.rf * W
+                            left = chunks[
+                                li % 2, 0, :,
+                                base + (lp.rf - a_lb) * W : base + lp.rf * W,
+                            ]
+                            if a_lb == T:
+                                wins.append(left)
+                            else:
+                                wins.append(
+                                    jnp.concatenate(
+                                        [left, hslice(xin, h)[:, : (T - a_lb) * W]],
+                                        axis=1,
+                                    )
+                                )
                             continue
                         j, o = divmod(a_lb, T)
                         if o == 0:
@@ -498,8 +573,9 @@ def _make_kernel(plan: _Plan):
                             stages[s](h)
 
             for p in (0, 1):
-                if pending_w[p] is not None:
-                    pending_w[p].wait()
+                for wd in pending_w[p]:
+                    wd.wait()
+                pending_w[p] = []
 
             # head rechannel (k=1 by the capability gate)
             for h in range(H):
@@ -527,6 +603,7 @@ def prepare(cfg, params, T: int, batch: int):
     plan, weights = _build_plan(cfg, params, T, batch)
     state = {
         "rings": [jnp.zeros(s, jnp.float32) for s in plan.ring_shapes],
+        "tails": [jnp.zeros(s, jnp.float32) for s in plan.tail_shapes],
         "n": jnp.zeros((), jnp.int32),
     }
     eparams = {"weights": weights, "head_scale": jnp.asarray(params["head_scale"], jnp.float32)}
@@ -559,6 +636,7 @@ def step(cfg, T: int, eparams, state, x):
 
     weights = eparams["weights"]
     rings = state["rings"]
+    tails = state["tails"]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
@@ -567,29 +645,36 @@ def step(cfg, T: int, eparams, state, x):
             pl.BlockSpec(w.shape, (lambda i, s, nd=w.ndim: (0,) * nd), memory_space=pltpu.VMEM)
             for w in weights
         ]
-        + [pl.BlockSpec(memory_space=pl.ANY) for _ in rings],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in rings]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in tails],
         out_specs=[pl.BlockSpec((plan.Cout, TW), lambda i, s: (0, i), memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY) for _ in rings],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in rings]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in tails],
         scratch_shapes=list(plan.scratch_shapes),
     )
-    # input operand r (0=slots, 1=x, 2..=weights, then rings) -> output 1+r
-    aliases = {2 + len(weights) + r: 1 + r for r in range(len(rings))}
+    # input operand r (0=slots, 1=x, 2..=weights, then rings, then tails)
+    # -> output 1+r (0=y, rings, tails): all state updates in place
+    NWt, NRt, NTt = len(weights), len(rings), len(tails)
+    aliases = {2 + NWt + r: 1 + r for r in range(NRt + NTt)}
     out = pl.pallas_call(
         _make_kernel(plan),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((plan.Cout, nt * TW), jnp.float32),
             *[jax.ShapeDtypeStruct(r.shape, r.dtype) for r in rings],
+            *[jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tails],
         ),
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
-    )(slots, x2, *weights, *rings)
-    y2, new_rings = out[0], list(out[1:])
+    )(slots, x2, *weights, *rings, *tails)
+    y2 = out[0]
+    new_rings = list(out[1 : 1 + NRt])
+    new_tails = list(out[1 + NRt :])
 
     y = y2.reshape(plan.Cout, nt * H, T, W).transpose(0, 2, 1, 3).reshape(plan.Cout, T, B)
     y = eparams["head_scale"] * y
-    return y, {"rings": new_rings, "n": n + 1}
+    return y, {"rings": new_rings, "tails": new_tails, "n": n + 1}
 
 
 # Plans are static pure-Python; cache by config identity (configs are built
