@@ -11,8 +11,8 @@ VMEM-resident:
   - activations flow layer-to-layer inside VMEM; nothing intermediate touches
     HBM;
   - dilated-conv tap windows are assembled in VMEM from ring chunks DMA'd
-    directly from HBM (one 512 KB contiguous copy per chunk, one layer of
-    read lookahead);
+    directly from HBM (one 512 KB copy per chunk, contiguous on the HBM
+    side, one layer of read lookahead);
   - ring state is updated in place via aliased kernel outputs (the TPU
     analog of the reference's constant-cost pow2 rings,
     NAM/wavenet/a2_fast.cpp:340-402) — O(T) write traffic per layer;
@@ -31,21 +31,29 @@ VMEM-resident:
 Layout: everything is 2D (channels, T*W) per 128-stream tile; the stream
 batch rides the lane axis (W = 128 lanes), time rides lane-tile blocks, so a
 time slice at a block-size multiple is lane-tile aligned and free. Ring
-chunks are stored (M, n_tiles, C, T*W) so a chunk fetch is one contiguous
-DMA.
+chunks are stored (M, n_tiles, C, T*W) so a chunk fetch is one DMA whose
+HBM source is contiguous.
 
 Semantics are identical to models.wavenet.engine_step (itself pinned to the
-generic step and the reference renders): reference graph Layer::Process,
-NAM/wavenet/model.cpp:166-376; ring-read contract NAM/conv1d.cpp:244-252.
+generic step and the compiled-reference renders, tests/test_ref_goldens.py):
+reference graph Layer::Process, NAM/wavenet/model.cpp:166-376; ring-read
+contract NAM/conv1d.cpp:244-252; FiLM NAM/film.h:76-190; head rechannel
+model.cpp:382-383,510; post-stack head model.cpp:21-86,776-805.
 Equivalence is tested in tests/test_pallas_stack.py (interpret mode) and
 enforced on-device by cli.bench_engine's agreement gate.
 
-Capability gate (``supports``): groups == 1, no FiLM sites, no LUT-mode
-activations, head_kernel_size == 1, no post-stack head, no nested condition
-DSP, batch % 128 == 0. Everything else — any kernel sizes/dilations, gated /
-blended modes, bottleneck != channels, layer1x1 / head1x1 — is handled.
-Unsupported configs fall back to the XLA engine step (models.engine picks
-automatically).
+Coverage (``supports``): any kernel sizes / dilations, gated / blended
+modes, bottleneck != channels, layer1x1 / head1x1, all 8 FiLM sites,
+grouped and depthwise convs everywhere (block-diagonal weights are
+densified at prepare time — zeros contribute nothing, and at these channel
+counts the MXU runs the dense dot at the same cost), head rechannel with
+kernel_size > 1 / dilation > 1 (receptive field <= T, carried as tail
+state — covers the A2 family's k=16 head, NAM/wavenet/a2_fast.h:30-43),
+the post-stack head, and nested condition DSPs (computed as an XLA
+engine-tier pre-pass whose output enters the kernel as a second input).
+Remaining gate: LUT-mode activations, batch % 128 != 0, head/post-head
+receptive field > T, and configs whose VMEM footprint exceeds the budget —
+those fall back to the XLA engine step (models.engine picks automatically).
 """
 
 from __future__ import annotations
@@ -72,29 +80,61 @@ VMEM_LIMIT = 128 * (1 << 20)
 VMEM_BUDGET = 96 * (1 << 20)
 
 
+def _layer_num_chunks(K: int, d: int, T: int) -> int:
+    """Distinct past ring chunks a deep layer (rf > T) fetches per block."""
+    js = set()
+    for k in range(K):
+        a_lb = (K - 1 - k) * d
+        if a_lb == 0:
+            continue
+        j, o = divmod(a_lb, T)
+        if o == 0:
+            js.add(j)
+        else:
+            js.add(j + 1)
+            if j >= 1:
+                js.add(j)
+    return len(js)
+
+
 def _footprint_rows(cfg, T: int) -> int:
     """Worst-layer VMEM footprint in units of (rows x T*W) f32 buffers:
     layer input scratch (2C), chunk scratch (2*nc*C), the stacked operand
-    (K*C), live values (~4C: z/aout/next/hd). Tail layers (rf <= T) use one
-    chunk buffer."""
+    (K*C), live values (~4C: z/aout/next/hd), FiLM scratch (2C when
+    conv_pre_film needs a filmed-input buffer). Tail layers (rf <= T) use
+    one chunk buffer. Head-rechannel / post-stack-head tail convs add their
+    store+fetch buffers and stacked operand on top (they coexist with the
+    layer scratch). The per-layer part is pinned to the on-device sweep
+    (tools/sweep_vmem_tiles.py) by tests/test_pallas_stack.py."""
     rows = 0
     for ac in cfg.layer_arrays:
+        C = ac.channels
+        any_pre_film = dict(ac.films)["conv_pre_film"].active
         for li in range(ac.num_layers):
             K, d = ac.kernel_sizes[li], ac.dilations[li]
             rf = (K - 1) * d
             if 0 < rf <= T:
                 nc = 1
+            elif rf > T:
+                nc = _layer_num_chunks(K, d, T)
             else:
-                js = set()
-                for k in range(K):
-                    a_lb = (K - 1 - k) * d
-                    if a_lb == 0:
-                        continue
-                    j, o = divmod(a_lb, T)
-                    js.update((j,) if o == 0 else ((j + 1, j) if j >= 1 else (j + 1,)))
-                nc = len(js)
-            rows = max(rows, (2 + 2 * nc + K + 4) * ac.channels)
-    return rows
+                nc = 0
+            layer_rows = (2 + 2 * nc + K + 4) * max(C, ac.conv_out_channels(li))
+            if any_pre_film:
+                layer_rows += 2 * C
+            rows = max(rows, layer_rows)
+    extra = 0
+    for ac in cfg.layer_arrays:
+        hr_rf = (ac.head_kernel_size - 1) * ac.head_dilation
+        if hr_rf > 0:
+            extra += (2 + ac.head_kernel_size) * ac.head_output_size + ac.head_size
+    if cfg.head is not None:
+        cin = cfg.head.in_channels
+        for k in cfg.head.kernel_sizes:
+            if k > 1:
+                extra += (2 + k) * cin + cfg.head.channels
+            cin = cfg.head.channels
+    return rows + extra
 
 
 def _pick_w(cfg, T: int, batch: int) -> int:
@@ -126,6 +166,26 @@ NONE, GATED, BLENDED = "none", "gated", "blended"
 
 
 @dataclasses.dataclass(frozen=True)
+class _TailConv:
+    """A conv whose history (rf <= T) is carried as a tail state: the
+    per-array head rechannel (any kernel_size/dilation with rf <= T — the A2
+    family's k=16 head, NAM/wavenet/a2_fast.h:30-43) and the post-stack head
+    convs (k >= 1, d = 1, model.cpp:21-44). rf == 0 means a plain 1x1 dot."""
+
+    K: int
+    d: int
+    cin: int
+    cout: int
+    rf: int
+    w: int  # stacked weight idx: (cout, K*cin)
+    b: int  # -1 => no bias
+    tail: int  # tail-state idx (-1 iff rf == 0)
+    store: int  # scratch idx: (cin, TW) DMA-source buffer (-1 iff rf == 0)
+    chunk: int  # scratch idx: (cin, TW) tail-fetch buffer (-1 iff rf == 0)
+    sem: int  # scratch idx: DMA sem (2,) [0]=read [1]=write (-1 iff rf == 0)
+
+
+@dataclasses.dataclass(frozen=True)
 class _LayerPlan:
     K: int
     d: int
@@ -148,6 +208,9 @@ class _LayerPlan:
     gating: str
     act1: Any
     act2: Any
+    # Active FiLM sites: (site, w_idx, b_idx, input_dim, shift)
+    # (reference: NAM/film.h:76-190; sites detail.h:103-154)
+    films: Tuple[Tuple[str, int, int, int, bool], ...]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,11 +222,11 @@ class _ArrayPlan:
     head_in: int  # head accumulation channels (head_output_size)
     head_out: int  # head_size
     rech_w: int
-    hr_w: int
-    hr_b: int
+    hr: _TailConv  # head rechannel
     layers: Tuple[_LayerPlan, ...]
     # scratch indices
     cur_scr: int
+    film_scr: int  # (2, C, TW) filmed-input buffer; -1 if no conv_pre_film
     chunk_scr: int  # -1 if no ring layers
     rsem: int
     wsem: int
@@ -178,10 +241,15 @@ class _Plan:
     nt: int  # grid size (batch // (H*W))
     Cin: int
     Cout: int
+    S: int  # condition channels entering the kernel
+    has_cond: bool  # separate condition input (nested condition DSP)
     n_weights: int
     n_rings: int
     n_tails: int
     n_slots: int
+    head_scale_w: int
+    head_act: Any  # post-stack head activation (None if no post head)
+    pheads: Tuple[_TailConv, ...]
     arrays: Tuple[_ArrayPlan, ...]
     ring_shapes: Tuple[Tuple[int, int, int, int], ...]
     tail_shapes: Tuple[Tuple[int, int, int], ...]  # (nt, C, H*rf*W)
@@ -194,34 +262,61 @@ def supports(cfg, T: int, batch: int) -> Optional[str]:
 
     if not isinstance(cfg, WaveNetConfig):
         return f"not a WaveNetConfig: {type(cfg).__name__}"
-    if cfg.head is not None:
-        return "post-stack head"
-    if cfg.condition_config is not None:
-        return "nested condition DSP"
     if batch % W_TILE != 0 or batch < W_TILE:
         return f"batch {batch} not a multiple of {W_TILE}"
     for ai, ac in enumerate(cfg.layer_arrays):
-        if ac.groups_input != 1 or ac.groups_input_mixin != 1:
-            return f"array {ai}: grouped conv/mixin"
-        if ac.layer1x1_active and ac.layer1x1_groups != 1:
-            return f"array {ai}: grouped layer1x1"
-        if ac.head1x1_active and ac.head1x1_groups != 1:
-            return f"array {ai}: grouped head1x1"
-        for name, f in ac.films:
-            if f.active:
-                return f"array {ai}: FiLM site {name}"
-        if ac.head_kernel_size != 1 or ac.head_dilation != 1:
-            return f"array {ai}: head rechannel kernel_size/dilation != 1"
+        hr_rf = (ac.head_kernel_size - 1) * ac.head_dilation
+        if hr_rf > T:
+            return f"array {ai}: head rechannel receptive field {hr_rf} > T={T}"
         for a_cfg in list(ac.activations) + list(ac.secondary_activations):
             if a_cfg.type in act._luts:
                 return f"LUT-mode activation {a_cfg.type}"
+    if cfg.head is not None:
+        if cfg.head.activation.type in act._luts:
+            return f"LUT-mode activation {cfg.head.activation.type}"
+        for k in cfg.head.kernel_sizes:
+            if k - 1 > T:
+                return f"post-stack head conv receptive field {k - 1} > T={T}"
+    if cfg.condition_config is not None:
+        # Pre-pass runs the nested DSP on the XLA engine tier; anything the
+        # registry can build qualifies.
+        from ... import registry
+
+        try:
+            sub = registry.arch_for_config(cfg.condition_config)
+            registry.engine_fns(sub)
+        except Exception as e:  # pragma: no cover - defensive
+            return f"condition DSP has no engine tier: {e}"
     if _pick_w(cfg, T, batch) == 0:
         return f"VMEM budget exceeded at T={T} (block too large for the fused kernel)"
     return None
 
 
+def _dense_1x1_w(p: Dict, cin: int, cout: int) -> np.ndarray:
+    """Dense (cin, cout) weight from conv1x1 params (depthwise -> diagonal).
+    Grouped weights are already stored dense block-diagonal
+    (ops/layers.py conv1x1_params)."""
+    if "dw" in p:
+        return np.diag(np.asarray(p["dw"], dtype=np.float32))
+    return np.asarray(p["w"], dtype=np.float32)
+
+
+def _dense_conv_w(p: Dict, K: int, cin: int, cout: int) -> np.ndarray:
+    """Dense (K, cin, cout) weight from conv1d params (depthwise -> per-tap
+    diagonal)."""
+    if "dw" in p:
+        dw = np.asarray(p["dw"], dtype=np.float32)  # (K, C)
+        w = np.zeros((K, cin, cout), dtype=np.float32)
+        for k in range(K):
+            np.fill_diagonal(w[k], dw[k])
+        return w
+    return np.asarray(p["w"], dtype=np.float32)
+
+
 def _build_plan(cfg, params, T: int, batch: int):
     """Static plan + flat weight list. Deterministic given (cfg, T, batch)."""
+    from ...models.wavenet import FILM_SITES, _layer_film_spec
+
     if batch % W_TILE:
         raise ValueError(f"batch must be a multiple of {W_TILE}")
     width = _pick_w(cfg, T, batch)
@@ -243,13 +338,31 @@ def _build_plan(cfg, params, T: int, batch: int):
         weights.append(jnp.asarray(np.ascontiguousarray(a, dtype=np.float32)))
         return len(weights) - 1
 
+    def add_tail_conv(p: Dict, K: int, d: int, cin: int, cout: int, has_bias: bool) -> _TailConv:
+        rf = (K - 1) * d
+        w3 = _dense_conv_w(p, K, cin, cout)  # (K, cin, cout)
+        w = add_w(w3.transpose(2, 0, 1).reshape(cout, K * cin))
+        b = add_w(np.asarray(p["b"])[:, None]) if has_bias else -1
+        if rf == 0:
+            return _TailConv(K, d, cin, cout, 0, w, b, -1, -1, -1, -1)
+        tail = len(tail_shapes)
+        tail_shapes.append((nt, cin, H * rf * W))
+        store = len(scratch)
+        scratch.append(pltpu.VMEM((cin, TW), jnp.float32))
+        chunk = len(scratch)
+        scratch.append(pltpu.VMEM((cin, TW), jnp.float32))
+        sem = len(scratch)
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        return _TailConv(K, d, cin, cout, rf, w, b, tail, store, chunk, sem)
+
     for ai, ac in enumerate(cfg.layer_arrays):
         ap = params["arrays"][ai]
         C, I, S, L = ac.channels, ac.input_size, ac.condition_size, ac.num_layers
-        rech_w = add_w(np.asarray(ap["rechannel"]["w"]).T)  # (C, I)
+        rech_w = add_w(_dense_1x1_w(ap["rechannel"], I, C).T)  # (C, I)
 
         layer_plans: List[_LayerPlan] = []
         n_chunk_bufs = 0
+        any_pre_film = False
         for li in range(L):
             lp = ap["layers"][li]
             K, d = ac.kernel_sizes[li], ac.dilations[li]
@@ -283,17 +396,28 @@ def _build_plan(cfg, params, T: int, batch: int):
                 n_slots += len(js_t) + 1  # reads + write slot
                 n_chunk_bufs = max(n_chunk_bufs, len(js_t))
 
-            w = np.asarray(lp["conv"]["w"])  # (K, C, conv_out)
+            w = _dense_conv_w(lp["conv"], K, C, conv_out)  # (K, C, conv_out)
             conv_w = add_w(w.transpose(2, 0, 1).reshape(conv_out, K * C))
             conv_b = add_w(np.asarray(lp["conv"]["b"])[:, None])
-            mixin_w = add_w(np.asarray(lp["mixin"]["w"]).T)  # (conv_out, S)
+            mixin_w = add_w(_dense_1x1_w(lp["mixin"], S, conv_out).T)  # (conv_out, S)
             l1_w = l1_b = h1_w = h1_b = -1
             if ac.layer1x1_active:
-                l1_w = add_w(np.asarray(lp["layer1x1"]["w"]).T)  # (C, bn)
+                l1_w = add_w(_dense_1x1_w(lp["layer1x1"], ac.bottleneck, C).T)  # (C, bn)
                 l1_b = add_w(np.asarray(lp["layer1x1"]["b"])[:, None])
             if ac.head1x1_active:
-                h1_w = add_w(np.asarray(lp["head1x1"]["w"]).T)
+                h1_w = add_w(_dense_1x1_w(lp["head1x1"], ac.bottleneck, ac.head1x1_out_channels).T)
                 h1_b = add_w(np.asarray(lp["head1x1"]["b"])[:, None])
+            films: List[Tuple[str, int, int, int, bool]] = []
+            for site in FILM_SITES:
+                fspec = _layer_film_spec(ac, li, site)
+                if fspec is None:
+                    continue
+                cs = fspec.cond_spec
+                fw = add_w(_dense_1x1_w(lp[site], cs.in_channels, cs.out_channels).T)
+                fb = add_w(np.asarray(lp[site]["b"])[:, None])
+                films.append((site, fw, fb, fspec.input_dim, fspec.shift))
+                if site == "conv_pre_film":
+                    any_pre_film = True
             layer_plans.append(
                 _LayerPlan(
                     K=K, d=d, conv_out=conv_out, bn=ac.bottleneck, rf=rf,
@@ -302,15 +426,22 @@ def _build_plan(cfg, params, T: int, batch: int):
                     mixin_w=mixin_w, l1_w=l1_w, l1_b=l1_b, h1_w=h1_w, h1_b=h1_b,
                     gating=ac.gating_modes[li],
                     act1=ac.activations[li], act2=ac.secondary_activations[li],
+                    films=tuple(films),
                 )
             )
 
-        hr = np.asarray(ap["head_rechannel"]["w"])  # (1, head_in, head_out)
-        hr_w = add_w(hr[0].T)  # (head_out, head_in)
-        hr_b = add_w(np.asarray(ap["head_rechannel"]["b"])[:, None]) if "b" in ap["head_rechannel"] else -1
+        hr = add_tail_conv(
+            ap["head_rechannel"], ac.head_kernel_size, ac.head_dilation,
+            ac.head_output_size, ac.head_size, "b" in ap["head_rechannel"],
+        )
 
         cur_scr = len(scratch)
         scratch.append(pltpu.VMEM((2, C, TW), jnp.float32))
+        if any_pre_film:
+            film_scr = len(scratch)
+            scratch.append(pltpu.VMEM((2, C, TW), jnp.float32))
+        else:
+            film_scr = -1
         if n_chunk_bufs > 0:
             chunk_scr = len(scratch)
             scratch.append(pltpu.VMEM((2, n_chunk_bufs, C, TW), jnp.float32))
@@ -327,18 +458,37 @@ def _build_plan(cfg, params, T: int, batch: int):
             _ArrayPlan(
                 C=C, I=I, S=S, L=L,
                 head_in=ac.head_output_size, head_out=ac.head_size,
-                rech_w=rech_w, hr_w=hr_w, hr_b=hr_b,
+                rech_w=rech_w, hr=hr,
                 layers=tuple(layer_plans),
-                cur_scr=cur_scr, chunk_scr=chunk_scr, rsem=rsem, wsem=wsem,
+                cur_scr=cur_scr, film_scr=film_scr, chunk_scr=chunk_scr,
+                rsem=rsem, wsem=wsem,
                 n_chunk_bufs=n_chunk_bufs,
             )
         )
 
+    head_scale_w = add_w(np.asarray(params["head_scale"], dtype=np.float32).reshape(1, 1))
+    pheads: List[_TailConv] = []
+    head_act = None
+    if cfg.head is not None:
+        from ...models.wavenet import _head_conv_specs
+
+        head_act = cfg.head.activation
+        for si, spec in enumerate(_head_conv_specs(cfg.head)):
+            pheads.append(
+                add_tail_conv(
+                    params["head"][si], spec.kernel_size, spec.dilation,
+                    spec.in_channels, spec.out_channels, spec.bias,
+                )
+            )
+
     plan = _Plan(
         T=T, W=W, H=H, nt=nt, Cin=cfg.in_channels, Cout=cfg.out_channels_,
+        S=(cfg.layer_arrays[0].condition_size if cfg.condition_config is not None else cfg.in_channels),
+        has_cond=cfg.condition_config is not None,
         n_weights=len(weights), n_rings=len(ring_shapes),
         n_tails=len(tail_shapes),
         n_slots=max(n_slots, 1),
+        head_scale_w=head_scale_w, head_act=head_act, pheads=tuple(pheads),
         arrays=tuple(arrays), ring_shapes=tuple(ring_shapes),
         tail_shapes=tuple(tail_shapes),
         scratch_shapes=tuple(scratch),
@@ -376,39 +526,107 @@ def _make_kernel(plan: _Plan):
     NW, NR, NT = plan.n_weights, plan.n_rings, plan.n_tails
     T, W, H = plan.T, plan.W, plan.H
     TWh = T * W  # columns per half-tile
+    NC = 1 if plan.has_cond else 0
 
     def hslice(v, h):
         return v[:, h * TWh : (h + 1) * TWh]
 
     def kernel(slots_ref, *refs):
         x_ref = refs[0]
-        wr = refs[1 : 1 + NW]
-        rr = refs[1 + NW : 1 + NW + NR]
-        ti = refs[1 + NW + NR : 1 + NW + NR + NT]
-        y_ref = refs[1 + NW + NR + NT]
-        ro = refs[2 + NW + NR + NT : 2 + NW + 2 * NR + NT]
-        to = refs[2 + NW + 2 * NR + NT : 2 + NW + 2 * NR + 2 * NT]
-        scr = refs[2 + NW + 2 * NR + 2 * NT :]
+        cond_ref = refs[1] if plan.has_cond else refs[0]
+        wr = refs[1 + NC : 1 + NC + NW]
+        rr = refs[1 + NC + NW : 1 + NC + NW + NR]
+        ti = refs[1 + NC + NW + NR : 1 + NC + NW + NR + NT]
+        y_ref = refs[1 + NC + NW + NR + NT]
+        ro = refs[2 + NC + NW + NR + NT : 2 + NC + NW + 2 * NR + NT]
+        to = refs[2 + NC + NW + 2 * NR + NT : 2 + NC + NW + 2 * NR + 2 * NT]
+        scr = refs[2 + NC + NW + 2 * NR + 2 * NT :]
         i = pl.program_id(0)
 
-        x_full = x_ref[:]  # (Cin, H*TWh) — condition == raw input (no cond DSP)
-        cond = [hslice(x_full, h) for h in range(H)]
-        prev_out = list(cond)
+        x_full = x_ref[:]  # (Cin, H*TWh)
+        cond_full = cond_ref[:] if plan.has_cond else x_full
+        cond = [hslice(cond_full, h) for h in range(H)]
+        prev_out = [hslice(x_full, h) for h in range(H)]
         head_acc = [None] * H
+        pending_tail = []  # (dma, sem) pairs to wait before kernel end
+
+        def film(v, fw, fb, dim, shift, h):
+            # ss = W_f @ cond + b_f; out = v*scale (+ shift)
+            # (reference: NAM/film.h:76-190)
+            ss = _small_dot(wr[fw][:], cond[h]) + wr[fb][:]
+            if shift:
+                return v * ss[:dim] + ss[dim:]
+            return v * ss
+
+        def tail_conv_start_read(tc: _TailConv):
+            """Prefetch the tail history; returns the DMA to wait on."""
+            if tc.rf == 0:
+                return None
+            dma = pltpu.make_async_copy(
+                ti[tc.tail].at[i],
+                scr[tc.chunk].at[:, pl.ds(0, H * tc.rf * W)],
+                scr[tc.sem].at[0],
+            )
+            dma.start()
+            return dma
+
+        def tail_conv_apply(tc: _TailConv, vals, read_dma):
+            """vals: per-half (cin, TWh) conv inputs -> per-half (cout, TWh).
+            Handles state store + new-tail write + window assembly + dot."""
+            if tc.rf > 0:
+                st = scr[tc.store]
+                for h in range(H):
+                    st[:, h * TWh : (h + 1) * TWh] = vals[h]
+                read_dma.wait()  # old tail in chunk buf; HBM slot now reusable
+                rfW = tc.rf * W
+                for h in range(H):
+                    wd = pltpu.make_async_copy(
+                        st.at[:, pl.ds(h * TWh + (T - tc.rf) * W, rfW)],
+                        to[tc.tail].at[i, :, pl.ds(h * rfW, rfW)],
+                        scr[tc.sem].at[1],
+                    )
+                    wd.start()
+                    pending_tail.append(wd)
+            outs = []
+            for h in range(H):
+                wins = []
+                for k in range(tc.K):
+                    a_lb = (tc.K - 1 - k) * tc.d
+                    if a_lb == 0:
+                        wins.append(vals[h])
+                        continue
+                    base = h * tc.rf * W
+                    left = scr[tc.chunk][
+                        :, base + (tc.rf - a_lb) * W : base + tc.rf * W
+                    ]
+                    if a_lb == T:
+                        wins.append(left)
+                    else:
+                        wins.append(
+                            jnp.concatenate([left, vals[h][:, : (T - a_lb) * W]], axis=1)
+                        )
+                stacked = jnp.concatenate(wins, axis=0) if len(wins) > 1 else wins[0]
+                y = _dot(wr[tc.w][:], stacked)
+                if tc.b >= 0:
+                    y = y + wr[tc.b][:]
+                outs.append(y)
+            return outs
 
         for ap in plan.arrays:
             cur = scr[ap.cur_scr]  # (2, C, H*TWh) layer-input scratch
+            fil = scr[ap.film_scr] if ap.film_scr >= 0 else None
             chunks = scr[ap.chunk_scr] if ap.chunk_scr >= 0 else None
             rsem = scr[ap.rsem] if ap.rsem >= 0 else None
             wsem = scr[ap.wsem]
             pending_w = {0: [], 1: []}
+            hr_read = tail_conv_start_read(ap.hr)
 
-            def issue_reads(li):
+            def issue_reads(li, ap=ap, chunks=chunks, rsem=rsem):
                 lp = ap.layers[li]
                 ds = []
                 if lp.tail >= 0:
-                    # one contiguous DMA: the whole (C, H*rf*W) tail into the
-                    # front columns of chunk buffer 0
+                    # one DMA (contiguous in HBM): the whole (C, H*rf*W) tail
+                    # into the front columns of chunk buffer 0
                     dma = pltpu.make_async_copy(
                         ti[lp.tail].at[i],
                         chunks.at[li % 2, 0, :, pl.ds(0, H * lp.rf * W)],
@@ -440,16 +658,37 @@ def _make_kernel(plan: _Plan):
                 pn = (li + 1) % 2
                 for dma in reads:
                     dma.wait()
-                xin = cur[p]  # (C, H*TWh) value
+                xin = cur[p]  # (C, H*TWh) value: raw layer input (residual src)
+                films = dict(
+                    (site, (fw, fb, dim, shift)) for site, fw, fb, dim, shift in lp.films
+                )
 
-                # state write: this layer's input becomes history (in place,
-                # aliased outputs; ring write slot never collides with read
-                # slots; the tail read above completed before this write)
+                # conv_pre_film: the conv (and its carried history!) consumes
+                # the FILMED input — the reference rings store the filmed
+                # value (model.cpp:172-177 feeds FiLM output into
+                # Conv1D::Process which writes its ring). So the state write
+                # below must source the filmed buffer, not cur.
+                if "conv_pre_film" in films:
+                    fw, fb, dim, shift = films["conv_pre_film"]
+                    for h in range(H):
+                        fil[p, :, h * TWh : (h + 1) * TWh] = film(
+                            hslice(xin, h), fw, fb, dim, shift, h
+                        )
+                    hin = fil[p]  # filmed value for windows
+                    state_src, state_scr = fil, ap.film_scr
+                else:
+                    hin = xin
+                    state_src, state_scr = cur, ap.cur_scr
+
+                # state write: this layer's (possibly filmed) input becomes
+                # history (in place, aliased outputs; ring write slot never
+                # collides with read slots; the tail read above completed
+                # before this write)
                 if lp.tail >= 0:
                     rfW = lp.rf * W
                     for h in range(H):
                         wd = pltpu.make_async_copy(
-                            cur.at[p, :, pl.ds(h * TWh + (T - lp.rf) * W, rfW)],
+                            state_src.at[p, :, pl.ds(h * TWh + (T - lp.rf) * W, rfW)],
                             to[lp.tail].at[i, :, pl.ds(h * rfW, rfW)],
                             wsem.at[p, h],
                         )
@@ -458,7 +697,7 @@ def _make_kernel(plan: _Plan):
                 elif lp.M:
                     wslot = slots_ref[lp.slot_base + len(lp.js)]
                     wd = pltpu.make_async_copy(
-                        cur.at[p], ro[lp.ring].at[wslot, i], wsem.at[p, H]
+                        state_src.at[p], ro[lp.ring].at[wslot, i], wsem.at[p, H]
                     )
                     wd.start()
                     pending_w[p].append(wd)
@@ -470,15 +709,15 @@ def _make_kernel(plan: _Plan):
                 else:
                     reads = []
 
-                # free cur[pn] for this layer's output stores
+                # free cur[pn] (and fil[pn]) for this layer's output stores
                 if not last:
                     for wd in pending_w[pn]:
                         wd.wait()
                     pending_w[pn] = []
 
-                def chunk_val(j, li=li, lp=lp, xin=xin):
+                def chunk_val(j, li=li, lp=lp, hin=hin):
                     if j == 0:
-                        return xin
+                        return hin
                     return chunks[li % 2, lp.js.index(j)]
 
                 # ---- per-half compute stages, software-pipelined so that
@@ -487,11 +726,11 @@ def _make_kernel(plan: _Plan):
                 # tanh measured ~40% of the step, tools/ablate_pallas_stack.py)
                 ctx = [dict() for _ in range(H)]
 
-                def st_assemble(h, lp=lp, li=li, xin=xin, chunk_val=chunk_val, ctx=ctx):
+                def st_assemble(h, lp=lp, li=li, hin=hin, chunk_val=chunk_val, ctx=ctx):
                     wins = []
                     for a_lb in lp.lookbacks:
                         if a_lb == 0:
-                            wins.append(hslice(xin, h))
+                            wins.append(hslice(hin, h))
                             continue
                         if lp.tail >= 0:
                             # window = [tail's last a_lb cols, block's first
@@ -506,7 +745,7 @@ def _make_kernel(plan: _Plan):
                             else:
                                 wins.append(
                                     jnp.concatenate(
-                                        [left, hslice(xin, h)[:, : (T - a_lb) * W]],
+                                        [left, hslice(hin, h)[:, : (T - a_lb) * W]],
                                         axis=1,
                                     )
                                 )
@@ -525,12 +764,22 @@ def _make_kernel(plan: _Plan):
                 def st_conv(h, lp=lp, ctx=ctx):
                     ctx[h]["z"] = _dot(wr[lp.conv_w][:], ctx[h].pop("stacked"))
 
-                def st_epilogue(h, lp=lp, ctx=ctx):
-                    ctx[h]["z"] = (
-                        ctx[h]["z"] + wr[lp.conv_b][:] + _small_dot(wr[lp.mixin_w][:], cond[h])
-                    )
+                def st_epilogue(h, lp=lp, ctx=ctx, films=films):
+                    c = ctx[h]["z"] + wr[lp.conv_b][:]
+                    if "conv_post_film" in films:
+                        c = film(c, *films["conv_post_film"], h)
+                    m_in = cond[h]
+                    if "input_mixin_pre_film" in films:
+                        m_in = film(m_in, *films["input_mixin_pre_film"], h)
+                    m = _small_dot(wr[lp.mixin_w][:], m_in)
+                    if "input_mixin_post_film" in films:
+                        m = film(m, *films["input_mixin_post_film"], h)
+                    z = c + m
+                    if "activation_pre_film" in films:
+                        z = film(z, *films["activation_pre_film"], h)
+                    ctx[h]["z"] = z
 
-                def st_act(h, lp=lp, ctx=ctx):
+                def st_act(h, lp=lp, ctx=ctx, films=films):
                     z = ctx[h].pop("z")
                     bn = lp.bn
                     if lp.gating == NONE:
@@ -545,18 +794,30 @@ def _make_kernel(plan: _Plan):
                             alpha * act.apply(lp.act1, z[:bn], channel_axis=0)
                             + (1.0 - alpha) * z[:bn]
                         )
+                    if "activation_post_film" in films:
+                        aout = film(aout, *films["activation_post_film"], h)
                     ctx[h]["a"] = aout
 
-                def st_l1(h, lp=lp, ctx=ctx):
+                def st_l1(h, lp=lp, ctx=ctx, films=films):
                     if lp.l1_w >= 0:
-                        ctx[h]["l1"] = _dot(wr[lp.l1_w][:], ctx[h]["a"]) + wr[lp.l1_b][:]
+                        l = _dot(wr[lp.l1_w][:], ctx[h]["a"]) + wr[lp.l1_b][:]
+                        # Reference quirk: layer1x1_post_film only in blended
+                        # mode (model.cpp:262-270).
+                        if "layer1x1_post_film" in films and lp.gating == BLENDED:
+                            l = film(l, *films["layer1x1_post_film"], h)
+                        ctx[h]["l1"] = l
 
-                def st_tail(h, lp=lp, li=li, xin=xin, ctx=ctx, last=last, pn=pn):
+                def st_tail(h, lp=lp, li=li, xin=xin, ctx=ctx, last=last, pn=pn, films=films):
                     aout = ctx[h].pop("a")
                     nxt = hslice(xin, h)
                     if lp.l1_w >= 0:
                         nxt = nxt + ctx[h].pop("l1")
-                    hd = aout if lp.h1_w < 0 else _dot(wr[lp.h1_w][:], aout) + wr[lp.h1_b][:]
+                    if lp.h1_w < 0:
+                        hd = aout
+                    else:
+                        hd = _dot(wr[lp.h1_w][:], aout) + wr[lp.h1_b][:]
+                        if "head1x1_post_film" in films:
+                            hd = film(hd, *films["head1x1_post_film"], h)
                     head_acc[h] = hd if head_acc[h] is None else head_acc[h] + hd
                     if last:
                         prev_out[h] = nxt
@@ -577,15 +838,25 @@ def _make_kernel(plan: _Plan):
                     wd.wait()
                 pending_w[p] = []
 
-            # head rechannel (k=1 by the capability gate)
-            for h in range(H):
-                ha = _dot(wr[ap.hr_w][:], head_acc[h])
-                if ap.hr_b >= 0:
-                    ha = ha + wr[ap.hr_b][:]
-                head_acc[h] = ha
+            # head rechannel (k=1 is a plain dot; k>1 streams via tail state —
+            # the A2 family's k=16 head, NAM/wavenet/a2_fast.h:30-43)
+            head_acc = tail_conv_apply(ap.hr, head_acc, hr_read)
+
+        hs = wr[plan.head_scale_w][0, 0]
+        work = [hs * head_acc[h] for h in range(H)]
+
+        # post-stack head: scale, then repeated (activation -> Conv1D)
+        # (reference: model.cpp:776-805, Head::process model.cpp:69-86)
+        for tc in plan.pheads:
+            rd = tail_conv_start_read(tc)
+            work = [act.apply(plan.head_act, v, channel_axis=0) for v in work]
+            work = tail_conv_apply(tc, work, rd)
 
         for h in range(H):
-            y_ref[:, h * TWh : (h + 1) * TWh] = head_acc[h]
+            y_ref[:, h * TWh : (h + 1) * TWh] = work[h]
+
+        for wd in pending_tail:
+            wd.wait()
 
     return kernel
 
@@ -606,7 +877,17 @@ def prepare(cfg, params, T: int, batch: int):
         "tails": [jnp.zeros(s, jnp.float32) for s in plan.tail_shapes],
         "n": jnp.zeros((), jnp.int32),
     }
-    eparams = {"weights": weights, "head_scale": jnp.asarray(params["head_scale"], jnp.float32)}
+    eparams = {"weights": weights}
+    if cfg.condition_config is not None:
+        # Nested condition DSP pre-pass runs on the XLA engine tier
+        # (reference: WaveNet::_process_condition, model.cpp:699-729).
+        from ... import registry
+
+        sub_arch = registry.arch_for_config(cfg.condition_config)
+        sub_prepare, _ = registry.engine_fns(sub_arch)
+        eparams["condition"], state["condition"] = sub_prepare(
+            cfg.condition_config, params["condition"], T, batch
+        )
     return eparams, state
 
 
@@ -616,6 +897,21 @@ def step(cfg, T: int, eparams, state, x):
     plan, _ = _build_plan_cached(cfg, T, B)
     W, H, nt = plan.W, plan.H, plan.nt
     TW = H * T * W  # columns per grid tile
+
+    new_state = {}
+    cond2 = None
+    if plan.has_cond:
+        from ... import registry
+
+        sub_arch = registry.arch_for_config(cfg.condition_config)
+        _, sub_step = registry.engine_fns(sub_arch)
+        cond, cstate = sub_step(
+            cfg.condition_config, T, eparams["condition"], state["condition"], x
+        )
+        new_state["condition"] = cstate
+        cond2 = (
+            cond.reshape(plan.S, T, nt * H, W).transpose(0, 2, 1, 3).reshape(plan.S, nt * TW)
+        )
 
     # slots vector: per ring layer, read slots then write slot
     n = state["n"]
@@ -637,10 +933,17 @@ def step(cfg, T: int, eparams, state, x):
     weights = eparams["weights"]
     rings = state["rings"]
     tails = state["tails"]
+    cond_inputs = [cond2] if plan.has_cond else []
+    cond_specs = (
+        [pl.BlockSpec((plan.S, TW), lambda i, s: (0, i), memory_space=pltpu.VMEM)]
+        if plan.has_cond
+        else []
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[pl.BlockSpec((plan.Cin, TW), lambda i, s: (0, i), memory_space=pltpu.VMEM)]
+        + cond_specs
         + [
             pl.BlockSpec(w.shape, (lambda i, s, nd=w.ndim: (0,) * nd), memory_space=pltpu.VMEM)
             for w in weights
@@ -652,10 +955,11 @@ def step(cfg, T: int, eparams, state, x):
         + [pl.BlockSpec(memory_space=pl.ANY) for _ in tails],
         scratch_shapes=list(plan.scratch_shapes),
     )
-    # input operand r (0=slots, 1=x, 2..=weights, then rings, then tails)
+    # input operand r (0=slots, 1=x, [cond], 2..=weights, then rings/tails)
     # -> output 1+r (0=y, rings, tails): all state updates in place
     NWt, NRt, NTt = len(weights), len(rings), len(tails)
-    aliases = {2 + NWt + r: 1 + r for r in range(NRt + NTt)}
+    base = 2 + len(cond_inputs) + NWt
+    aliases = {base + r: 1 + r for r in range(NRt + NTt)}
     out = pl.pallas_call(
         _make_kernel(plan),
         grid_spec=grid_spec,
@@ -667,19 +971,21 @@ def step(cfg, T: int, eparams, state, x):
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
-    )(slots, x2, *weights, *rings, *tails)
+    )(slots, x2, *cond_inputs, *weights, *rings, *tails)
     y2 = out[0]
     new_rings = list(out[1 : 1 + NRt])
     new_tails = list(out[1 + NRt :])
 
     y = y2.reshape(plan.Cout, nt * H, T, W).transpose(0, 2, 1, 3).reshape(plan.Cout, T, B)
-    y = eparams["head_scale"] * y
-    return y, {"rings": new_rings, "tails": new_tails, "n": n + 1}
+    new_state.update({"rings": new_rings, "tails": new_tails, "n": n + 1})
+    return y, new_state
 
 
 # Plans are static pure-Python; cache by config identity (configs are built
-# once per model and never mutated).
+# once per model and never mutated). Bounded FIFO so many distinct
+# (cfg, T, B) engines in one process can't leak plans.
 _PLAN_CACHE: Dict[Tuple[int, int, int], Any] = {}
+_PLAN_CACHE_MAX = 64
 
 
 def _build_plan_cached(cfg, T: int, B: int):
@@ -688,6 +994,8 @@ def _build_plan_cached(cfg, T: int, B: int):
     if hit is not None and hit[2] is cfg:
         return hit[0], hit[1]
     plan, weights = _build_plan(cfg, _params_shape_only(cfg), T, B)
+    while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
     _PLAN_CACHE[key] = (plan, None, cfg)
     return plan, None
 
@@ -695,7 +1003,11 @@ def _build_plan_cached(cfg, T: int, B: int):
 def _params_shape_only(cfg):
     """Zero params with the right shapes — _build_plan only uses shapes to
     assign weight indices; ``step`` never uses the weight VALUES from the
-    plan build (they come in via eparams)."""
+    plan build (they come in via eparams). Must walk the exact same add_w
+    sequence as real params (dense shapes; the depthwise 'dw' storage
+    densifies to the same dense shapes via _dense_*_w)."""
+    from ...models.wavenet import FILM_SITES, _head_conv_specs, _layer_film_spec
+
     arrays = []
     for ac in cfg.layer_arrays:
         layers = []
@@ -716,13 +1028,34 @@ def _params_shape_only(cfg):
                     "w": np.zeros((ac.bottleneck, ac.head1x1_out_channels), np.float32),
                     "b": np.zeros(ac.head1x1_out_channels, np.float32),
                 }
+            for site in FILM_SITES:
+                fspec = _layer_film_spec(ac, li, site)
+                if fspec is not None:
+                    cs = fspec.cond_spec
+                    lp[site] = {
+                        "w": np.zeros((cs.in_channels, cs.out_channels), np.float32),
+                        "b": np.zeros(cs.out_channels, np.float32),
+                    }
             layers.append(lp)
         a = {
             "rechannel": {"w": np.zeros((ac.input_size, ac.channels), np.float32)},
             "layers": layers,
-            "head_rechannel": {"w": np.zeros((1, ac.head_output_size, ac.head_size), np.float32)},
+            "head_rechannel": {
+                "w": np.zeros(
+                    (ac.head_kernel_size, ac.head_output_size, ac.head_size), np.float32
+                )
+            },
         }
         if ac.head_bias:
             a["head_rechannel"]["b"] = np.zeros(ac.head_size, np.float32)
         arrays.append(a)
-    return {"arrays": arrays, "head_scale": np.float32(0)}
+    params = {"arrays": arrays, "head_scale": np.float32(0)}
+    if cfg.head is not None:
+        params["head"] = [
+            {
+                "w": np.zeros((s.kernel_size, s.in_channels, s.out_channels), np.float32),
+                "b": np.zeros(s.out_channels, np.float32),
+            }
+            for s in _head_conv_specs(cfg.head)
+        ]
+    return params

@@ -155,17 +155,135 @@ def test_two_half_tiles_wavefront():
 
 def test_supports_gate():
     """Unsupported configs are refused with a reason and StreamEngine falls
-    back to the XLA step."""
-    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_condition_dsp.nam"))
-    assert stack.supports(m.config, 64, B) is not None
-    with pytest.raises(ValueError, match="does not support"):
-        StreamEngine(m, batch=B, block_size=64, kernel="pallas")
-    eng = StreamEngine(m, batch=B, block_size=64, kernel="auto")
-    assert eng.kernel == "xla"
+    back to the XLA step; round-2 coverage (FiLM, groups, condition DSP,
+    A2 head conv, post-stack head) is admitted."""
+    # The whole example corpus qualifies at T=64 / B=128 now.
+    for name in ("wavenet_condition_dsp", "wavenet_a2_max", "wavenet_a1_standard"):
+        m = nam.load_model(os.path.join(EXAMPLE_MODELS, name + ".nam"))
+        assert stack.supports(m.config, 64, B) is None, name
     # batch gate
     m2 = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
     assert stack.supports(m2.config, 64, 96) is not None
     assert stack.supports(m2.config, 64, 256) is None
+    # head-rechannel receptive field > T is refused (A2's k=16 head at T=8)
+    a2 = nam.load_model(os.path.join(EXAMPLE_MODELS, "A2.nam"))
+    sub = a2.active_model
+    assert stack.supports(sub.config, 8, B) is not None
+    assert stack.supports(sub.config, 64, B) is None
+    with pytest.raises(ValueError, match="does not support"):
+        StreamEngine(sub, batch=B, block_size=8, kernel="pallas")
+    eng = StreamEngine(sub, batch=B, block_size=8, kernel="auto")
+    assert eng.kernel == "xla"
+
+
+def test_a2_architecture_head_conv():
+    """The A2 family (single array, k=16 head rechannel with bias,
+    NAM/wavenet/a2_fast.h:30-43): the head conv streams via tail state."""
+    a2 = nam.load_model(os.path.join(EXAMPLE_MODELS, "A2.nam"))
+    sub = a2.active_model  # A2-nano (channels=3)
+    _run_equivalence(sub, T=64, n_blocks=6)
+
+
+def test_a2_standard_submodel():
+    a2 = nam.load_model(os.path.join(EXAMPLE_MODELS, "A2.nam"))
+    st = a2.set_slimmable_size(1.0)  # A2-standard (channels=8)
+    del st
+    _run_equivalence(a2.active_model, T=64, n_blocks=4)
+
+
+def test_condition_dsp_prepass():
+    """Nested condition DSP runs as an XLA engine pre-pass feeding the
+    kernel's separate condition input (model.cpp:699-729)."""
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_condition_dsp.nam"))
+    _run_equivalence(m, T=16, n_blocks=8)
+
+
+def test_a2_max_films_groups_gating():
+    """wavenet_a2_max: all 8 FiLM sites, grouped conv/mixin/1x1s, gated +
+    blended + PReLU/Softsign/LeakyHardtanh, nested condition DSP — the
+    everything-on corpus model."""
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_a2_max.nam"))
+    _run_equivalence(m, T=16, n_blocks=8)
+
+
+def test_post_stack_head():
+    """Post-stack head: scale -> repeated (activation -> Conv1D), k>1 convs
+    carried as tail state (model.cpp:776-805)."""
+    config = {
+        "layers": [
+            {
+                "input_size": 1,
+                "condition_size": 1,
+                "channels": 6,
+                "head_size": 4,
+                "kernel_size": 3,
+                "dilations": [1, 4],
+                "activation": "Tanh",
+                "gated": False,
+                "head_bias": True,
+            }
+        ],
+        "head": {
+            "channels": 5,
+            "out_channels": 1,
+            "kernel_sizes": [3, 1, 4],
+            "activation": "ReLU",
+        },
+    }
+    _run_equivalence(_wavenet_model(config), T=16, n_blocks=8)
+
+
+def test_depthwise_convs():
+    """Depthwise conv + depthwise mixin densify to diagonal weights."""
+    config = {
+        "layers": [
+            {
+                "input_size": 1,
+                "condition_size": 1,
+                "channels": 4,
+                "head_size": 2,
+                "kernel_size": 3,
+                "dilations": [1, 2, 4],
+                "activation": "SiLU",
+                "gated": False,
+                "head_bias": False,
+                "groups_input": 4,
+                "layer1x1": {"active": True, "groups": 4},
+            }
+        ],
+        "head": None,
+    }
+    _run_equivalence(_wavenet_model(config), T=8, n_blocks=8)
+
+
+def test_film_sites_individually():
+    """Each FiLM site alone, pinned against the XLA engine (shift on/off)."""
+    for site, shift in (
+        ("conv_pre_film", True),
+        ("conv_post_film", False),
+        ("input_mixin_pre_film", True),
+        ("input_mixin_post_film", True),
+        ("activation_pre_film", False),
+        ("activation_post_film", True),
+    ):
+        config = {
+            "layers": [
+                {
+                    "input_size": 1,
+                    "condition_size": 1,
+                    "channels": 4,
+                    "head_size": 2,
+                    "kernel_size": 2,
+                    "dilations": [1, 8, 32],
+                    "activation": "Tanh",
+                    "gated": False,
+                    "head_bias": True,
+                    site: {"active": True, "shift": shift, "groups": 1},
+                }
+            ],
+            "head": None,
+        }
+        _run_equivalence(_wavenet_model(config), T=16, n_blocks=6, seed=hash(site) % 1000)
 
 
 def test_engine_state_checkpoint_roundtrip():
