@@ -196,9 +196,183 @@ int nam_ring_pop(NamBlockRing* r, float* block)
   return 1;
 }
 
+// ===========================================================================
+// Ring pool: per-stream SPSC rings + fused batch assembly/demux
+// ===========================================================================
+//
+// The farm's hot per-block host work is gathering one block from every
+// stream's input ring into the engine's (T, B) device layout and scattering
+// the (T, B) output back. Doing that as pop-loop + separate transpose walks
+// the batch twice; the pool fuses the queue copy with the layout transform
+// (one pass, block-tiled for cache locality). Per-stream push/pop stay
+// lock-free SPSC so audio threads feed concurrently with the dispatch
+// thread — the host-side analog of the reference's allocation-free RT
+// contract (reference: tools/test/allocation_tracking.cpp).
+
+struct NamRingPool
+{
+  int64_t n_streams;
+  int64_t capacity; // slots per stream (power of two)
+  int64_t block_len;
+  std::vector<std::atomic<int64_t>> head; // per stream
+  std::vector<std::atomic<int64_t>> tail;
+  std::vector<float> storage; // (stream, slot, block_len)
+
+  NamRingPool(int64_t n, int64_t cap, int64_t bl)
+    : n_streams(n), capacity(cap), block_len(bl), head(n), tail(n),
+      storage((size_t)(n * cap * bl), 0.0f)
+  {
+    for (int64_t i = 0; i < n; i++)
+    {
+      head[i].store(0, std::memory_order_relaxed);
+      tail[i].store(0, std::memory_order_relaxed);
+    }
+  }
+
+  float* slot(int64_t stream, int64_t idx)
+  {
+    return storage.data() + ((stream * capacity + (idx & (capacity - 1))) * block_len);
+  }
+};
+
+NamRingPool* nam_pool_create(int64_t n_streams, int64_t capacity, int64_t block_len)
+{
+  int64_t cap = 1;
+  while (cap < capacity)
+    cap <<= 1;
+  return new NamRingPool(n_streams, cap, block_len);
+}
+
+void nam_pool_destroy(NamRingPool* p)
+{
+  delete p;
+}
+
+int64_t nam_pool_size(const NamRingPool* p, int64_t stream)
+{
+  return p->head[stream].load(std::memory_order_acquire)
+         - p->tail[stream].load(std::memory_order_acquire);
+}
+
+int nam_pool_push(NamRingPool* p, int64_t stream, const float* block)
+{
+  const int64_t head = p->head[stream].load(std::memory_order_relaxed);
+  const int64_t tail = p->tail[stream].load(std::memory_order_acquire);
+  if (head - tail >= p->capacity)
+    return 0;
+  std::memcpy(p->slot(stream, head), block, (size_t)p->block_len * sizeof(float));
+  p->head[stream].store(head + 1, std::memory_order_release);
+  return 1;
+}
+
+int nam_pool_pop(NamRingPool* p, int64_t stream, float* block)
+{
+  const int64_t tail = p->tail[stream].load(std::memory_order_relaxed);
+  const int64_t head = p->head[stream].load(std::memory_order_acquire);
+  if (head == tail)
+    return 0;
+  std::memcpy(block, p->slot(stream, tail), (size_t)p->block_len * sizeof(float));
+  p->tail[stream].store(tail + 1, std::memory_order_release);
+  return 1;
+}
+
+// Push the same range of T samples to many streams at once (bulk feeders /
+// bench producers): in is (n, T) for streams [first, first+n).
+int64_t nam_pool_push_range(NamRingPool* p, int64_t first, int64_t n, const float* in)
+{
+  int64_t ok = 0;
+  for (int64_t s = 0; s < n; s++)
+    ok += nam_pool_push(p, first + s, in + s * p->block_len);
+  return ok;
+}
+
+// Consumer-side fused assembly: pop one block per stream directly into the
+// (T, B) device layout (zeros for empty streams). Returns #streams fed.
+int64_t nam_pool_pop_all_tb(NamRingPool* p, float* out_tb)
+{
+  const int64_t B = p->n_streams, T = p->block_len;
+  const int64_t BS = 32;
+  int64_t fed = 0;
+  for (int64_t b0 = 0; b0 < B; b0 += BS)
+  {
+    const int64_t b1 = b0 + BS < B ? b0 + BS : B;
+    // per-tile source pointers (slot data or null)
+    const float* src[32];
+    for (int64_t bi = b0; bi < b1; bi++)
+    {
+      const int64_t tail = p->tail[bi].load(std::memory_order_relaxed);
+      const int64_t head = p->head[bi].load(std::memory_order_acquire);
+      src[bi - b0] = (head == tail) ? nullptr : p->slot(bi, tail);
+    }
+    for (int64_t t0 = 0; t0 < T; t0 += BS)
+    {
+      const int64_t t1 = t0 + BS < T ? t0 + BS : T;
+      for (int64_t bi = b0; bi < b1; bi++)
+      {
+        const float* s = src[bi - b0];
+        if (s)
+          for (int64_t ti = t0; ti < t1; ti++)
+            out_tb[ti * B + bi] = s[ti];
+        else
+          for (int64_t ti = t0; ti < t1; ti++)
+            out_tb[ti * B + bi] = 0.0f;
+      }
+    }
+    for (int64_t bi = b0; bi < b1; bi++)
+    {
+      if (src[bi - b0])
+      {
+        p->tail[bi].fetch_add(1, std::memory_order_release);
+        fed++;
+      }
+    }
+  }
+  return fed;
+}
+
+// Producer-side fused demux: scatter a (T, B) result into per-stream rings.
+// Returns #streams whose ring had room.
+int64_t nam_pool_push_all_tb(NamRingPool* p, const float* in_tb)
+{
+  const int64_t B = p->n_streams, T = p->block_len;
+  const int64_t BS = 32;
+  int64_t ok = 0;
+  for (int64_t b0 = 0; b0 < B; b0 += BS)
+  {
+    const int64_t b1 = b0 + BS < B ? b0 + BS : B;
+    float* dst[32];
+    for (int64_t bi = b0; bi < b1; bi++)
+    {
+      const int64_t head = p->head[bi].load(std::memory_order_relaxed);
+      const int64_t tail = p->tail[bi].load(std::memory_order_acquire);
+      dst[bi - b0] = (head - tail >= p->capacity) ? nullptr : p->slot(bi, head);
+    }
+    for (int64_t t0 = 0; t0 < T; t0 += BS)
+    {
+      const int64_t t1 = t0 + BS < T ? t0 + BS : T;
+      for (int64_t bi = b0; bi < b1; bi++)
+      {
+        float* d = dst[bi - b0];
+        if (d)
+          for (int64_t ti = t0; ti < t1; ti++)
+            d[ti] = in_tb[ti * B + bi];
+      }
+    }
+    for (int64_t bi = b0; bi < b1; bi++)
+    {
+      if (dst[bi - b0])
+      {
+        p->head[bi].fetch_add(1, std::memory_order_release);
+        ok++;
+      }
+    }
+  }
+  return ok;
+}
+
 int nam_native_abi_version()
 {
-  return 1;
+  return 2;
 }
 
 } // extern "C"

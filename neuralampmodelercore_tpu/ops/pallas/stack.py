@@ -71,6 +71,18 @@ from .. import activations as act
 
 W_TILE = 128  # streams per half-tile (one lane tile)
 
+# f32 sublane tile. Every buffer that is the source or destination of a
+# manual DMA (ring chunks, tail states, their scratch) pads its channel dim
+# to this multiple: Mosaic rejects memref slices whose second-to-minor dim
+# is not tile-aligned (hit on-device by C=3 models like wavenet.nam /
+# A2-nano). Compute slices values back to the logical C; padding rows carry
+# don't-care data end to end.
+SUBLANE = 8
+
+
+def _pad8(c: int) -> int:
+    return -(-c // SUBLANE) * SUBLANE
+
 # VMEM budget for the footprint model below. v5e/v5p cores have 128 MB of
 # VMEM; Mosaic's *default* scoped limit is only 16 MB, so `step` raises it
 # via CompilerParams(vmem_limit_bytes=VMEM_LIMIT). The budget leaves
@@ -346,11 +358,11 @@ def _build_plan(cfg, params, T: int, batch: int):
         if rf == 0:
             return _TailConv(K, d, cin, cout, 0, w, b, -1, -1, -1, -1)
         tail = len(tail_shapes)
-        tail_shapes.append((nt, cin, H * rf * W))
+        tail_shapes.append((nt, _pad8(cin), H * rf * W))
         store = len(scratch)
-        scratch.append(pltpu.VMEM((cin, TW), jnp.float32))
+        scratch.append(pltpu.VMEM((_pad8(cin), TW), jnp.float32))
         chunk = len(scratch)
-        scratch.append(pltpu.VMEM((cin, TW), jnp.float32))
+        scratch.append(pltpu.VMEM((_pad8(cin), TW), jnp.float32))
         sem = len(scratch)
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
         return _TailConv(K, d, cin, cout, rf, w, b, tail, store, chunk, sem)
@@ -374,7 +386,7 @@ def _build_plan(cfg, params, T: int, batch: int):
             if 0 < rf <= T:
                 # Shallow layer: carry only the last rf columns as state.
                 tail = len(tail_shapes)
-                tail_shapes.append((nt, C, H * rf * W))
+                tail_shapes.append((nt, _pad8(C), H * rf * W))
                 n_chunk_bufs = max(n_chunk_bufs, 1)
             elif rf > 0:
                 js: set = set()
@@ -391,7 +403,7 @@ def _build_plan(cfg, params, T: int, batch: int):
                 js_t = tuple(sorted(js))
                 M = rf // T + 2
                 ring = len(ring_shapes)
-                ring_shapes.append((M, nt, C, TW))
+                ring_shapes.append((M, nt, _pad8(C), TW))
                 slot_base = n_slots
                 n_slots += len(js_t) + 1  # reads + write slot
                 n_chunk_bufs = max(n_chunk_bufs, len(js_t))
@@ -436,15 +448,15 @@ def _build_plan(cfg, params, T: int, batch: int):
         )
 
         cur_scr = len(scratch)
-        scratch.append(pltpu.VMEM((2, C, TW), jnp.float32))
+        scratch.append(pltpu.VMEM((2, _pad8(C), TW), jnp.float32))
         if any_pre_film:
             film_scr = len(scratch)
-            scratch.append(pltpu.VMEM((2, C, TW), jnp.float32))
+            scratch.append(pltpu.VMEM((2, _pad8(C), TW), jnp.float32))
         else:
             film_scr = -1
         if n_chunk_bufs > 0:
             chunk_scr = len(scratch)
-            scratch.append(pltpu.VMEM((2, n_chunk_bufs, C, TW), jnp.float32))
+            scratch.append(pltpu.VMEM((2, n_chunk_bufs, _pad8(C), TW), jnp.float32))
             rsem = len(scratch)
             scratch.append(pltpu.SemaphoreType.DMA((2, max(n_chunk_bufs, 1))))
         else:
@@ -576,7 +588,7 @@ def _make_kernel(plan: _Plan):
             if tc.rf > 0:
                 st = scr[tc.store]
                 for h in range(H):
-                    st[:, h * TWh : (h + 1) * TWh] = vals[h]
+                    st[: tc.cin, h * TWh : (h + 1) * TWh] = vals[h]
                 read_dma.wait()  # old tail in chunk buf; HBM slot now reusable
                 rfW = tc.rf * W
                 for h in range(H):
@@ -597,7 +609,7 @@ def _make_kernel(plan: _Plan):
                         continue
                     base = h * tc.rf * W
                     left = scr[tc.chunk][
-                        :, base + (tc.rf - a_lb) * W : base + tc.rf * W
+                        : tc.cin, base + (tc.rf - a_lb) * W : base + tc.rf * W
                     ]
                     if a_lb == T:
                         wins.append(left)
@@ -649,7 +661,7 @@ def _make_kernel(plan: _Plan):
 
             # rechannel -> layer 0 input
             for h in range(H):
-                cur[0, :, h * TWh : (h + 1) * TWh] = _small_dot(wr[ap.rech_w][:], prev_out[h])
+                cur[0, : ap.C, h * TWh : (h + 1) * TWh] = _small_dot(wr[ap.rech_w][:], prev_out[h])
             reads = issue_reads(0) if ap.layers and needs_read(ap.layers[0]) else []
 
             for li, lp in enumerate(ap.layers):
@@ -658,7 +670,7 @@ def _make_kernel(plan: _Plan):
                 pn = (li + 1) % 2
                 for dma in reads:
                     dma.wait()
-                xin = cur[p]  # (C, H*TWh) value: raw layer input (residual src)
+                xin = cur[p, : ap.C]  # (C, H*TWh) value: raw layer input (residual src)
                 films = dict(
                     (site, (fw, fb, dim, shift)) for site, fw, fb, dim, shift in lp.films
                 )
@@ -671,10 +683,10 @@ def _make_kernel(plan: _Plan):
                 if "conv_pre_film" in films:
                     fw, fb, dim, shift = films["conv_pre_film"]
                     for h in range(H):
-                        fil[p, :, h * TWh : (h + 1) * TWh] = film(
+                        fil[p, : ap.C, h * TWh : (h + 1) * TWh] = film(
                             hslice(xin, h), fw, fb, dim, shift, h
                         )
-                    hin = fil[p]  # filmed value for windows
+                    hin = fil[p, : ap.C]  # filmed value for windows
                     state_src, state_scr = fil, ap.film_scr
                 else:
                     hin = xin
@@ -715,10 +727,10 @@ def _make_kernel(plan: _Plan):
                         wd.wait()
                     pending_w[pn] = []
 
-                def chunk_val(j, li=li, lp=lp, hin=hin):
+                def chunk_val(j, li=li, lp=lp, hin=hin, C=ap.C):
                     if j == 0:
                         return hin
-                    return chunks[li % 2, lp.js.index(j)]
+                    return chunks[li % 2, lp.js.index(j), :C]
 
                 # ---- per-half compute stages, software-pipelined so that
                 # one half's heavy VPU activation overlaps the sibling
@@ -737,7 +749,7 @@ def _make_kernel(plan: _Plan):
                             # T - a_lb cols]
                             base = h * lp.rf * W
                             left = chunks[
-                                li % 2, 0, :,
+                                li % 2, 0, : ap.C,
                                 base + (lp.rf - a_lb) * W : base + lp.rf * W,
                             ]
                             if a_lb == T:
@@ -822,7 +834,7 @@ def _make_kernel(plan: _Plan):
                     if last:
                         prev_out[h] = nxt
                     else:
-                        cur[pn, :, h * TWh : (h + 1) * TWh] = nxt
+                        cur[pn, : ap.C, h * TWh : (h + 1) * TWh] = nxt
 
                 stages = (st_assemble, st_conv, st_epilogue, st_act, st_l1, st_tail)
                 # wavefront order: stage s of half h runs at wave s + h, so

@@ -221,3 +221,129 @@ def time_sharded_render(model: Model, mesh: Mesh, x, axis: str = TIME_AXIS):
     xc = x[:, None] if x.ndim == 1 else x
     y = fn(model.params, xc)
     return y[:, 0] if x.ndim == 1 else y
+
+
+# =============================================================================
+# Streaming time-axis sequence parallelism (per-block halo handoff)
+# =============================================================================
+
+
+def _max_conv_rf(cfg) -> int:
+    """Largest single-conv receptive field in a WaveNet config (incl. head
+    rechannel, post-stack head, and nested condition DSPs)."""
+    from ..models.wavenet import WaveNetConfig, _head_conv_specs, _head_rechannel_spec, _layer_conv_spec
+
+    if not isinstance(cfg, WaveNetConfig):
+        raise ValueError(
+            f"streaming time-SP supports WaveNet configs (got {type(cfg).__name__}); "
+            "LSTM recurrence is unbounded - use stream DP for it"
+        )
+    rf = 0
+    for ac in cfg.layer_arrays:
+        for i in range(ac.num_layers):
+            rf = max(rf, _layer_conv_spec(ac, i).receptive_field)
+        rf = max(rf, _head_rechannel_spec(ac).receptive_field)
+    if cfg.head is not None:
+        for s in _head_conv_specs(cfg.head):
+            rf = max(rf, s.receptive_field)
+    if cfg.condition_config is not None:
+        rf = max(rf, _max_conv_rf(cfg.condition_config))
+    return rf
+
+
+def time_sharded_stream_step(model: Model, mesh: Mesh, block_per_device: int,
+                             axis: str = TIME_AXIS):
+    """Streaming sequence parallelism: one long stream whose blocks of
+    ``n_devices * block_per_device`` samples are split across the mesh's time
+    axis every step.
+
+    Each conv's halo hands off between time-shard neighbors via a cyclic
+    ``ppermute`` per block: device d's conv windows start from the last rf
+    inputs of device d-1's slice (same block), and the wrap-around tail that
+    device 0 receives from device n-1 IS the carry into the next block — the
+    ring lookback contract (reference: NAM/conv1d.cpp:126-137) applied across
+    both the device and block boundaries. Pointwise ops (1x1s, FiLM,
+    activations, gating) are time-local and need no communication.
+
+    Output is equivalent to the unsharded streaming step on the concatenated
+    block (tests/test_streaming_sp.py). Requires every conv's receptive
+    field <= block_per_device (so a halo spans at most one neighbor), and a
+    feedforward architecture (WaveNet, incl. nested WaveNet condition DSPs).
+
+    Returns (state0, step) with step(params, state, x[(n*Tl,) or (n*Tl, C)])
+    -> (y, state'); state leaves are sharded on their leading axis.
+    """
+    from .. import registry
+    from ..models import wavenet as wn
+
+    cfg = model.config
+    n = mesh.shape[axis]
+    Tl = int(block_per_device)
+    max_rf = _max_conv_rf(cfg)
+    if max_rf > Tl:
+        raise ValueError(
+            f"block_per_device={Tl} < largest conv receptive field {max_rf}: "
+            "a halo would span more than one neighbor"
+        )
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def sp_conv(spec, p, carry, x):
+        """conv1d_step with the halo fetched from the left time-shard
+        neighbor instead of local history. carry: (1, rf, C) — meaningful on
+        device 0 only (the wrap tail from the previous block)."""
+        from ..ops.layers import conv1d_apply_full
+
+        rf = spec.receptive_field
+        if rf == 0:
+            return conv1d_apply_full(spec, p, x), carry
+        tail = x[:, Tl - rf :, :]
+        rolled = jax.lax.ppermute(tail, axis, perm)
+        idx = jax.lax.axis_index(axis)
+        halo = jnp.where(idx == 0, carry, rolled)
+        y = conv1d_apply_full(spec, p, jnp.concatenate([halo, x], axis=1))
+        return y, rolled
+
+    def cond_step(ccfg, cparams, cstate, cx):
+        sub_arch = registry.arch_for_config(ccfg)
+        if sub_arch.name != "WaveNet":
+            raise ValueError(
+                f"streaming time-SP condition DSP must be feedforward (got {sub_arch.name})"
+            )
+        return wn._step_impl(ccfg, cparams, cstate, cx, sp_conv, cond_step)
+
+    def local_step(params, state, x_local):
+        return wn._step_impl(cfg, params, state, x_local, sp_conv, cond_step)
+
+    # Conv carries are (batch, rf, C); giving init_state batch == n and
+    # sharding the leading axis hands each device a (1, rf, C) local carry.
+    state0 = model._arch.init_state(cfg, model.params, n)
+    state_specs = jax.tree_util.tree_map(
+        lambda l: P(axis, *([None] * (np.ndim(l) - 1))), state0
+    )
+    xspec = P(axis, None, None)
+    fn = jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), state_specs, xspec),
+            out_specs=(xspec, state_specs),
+        ),
+        donate_argnums=(1,),
+    )
+    state0 = jax.device_put(
+        state0,
+        jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), state_specs),
+    )
+    Cin = model.num_input_channels
+
+    def step(params, state, x):
+        x = jnp.asarray(x, dtype=jnp.float32)
+        flat = x.ndim == 1
+        xc = x[:, None] if flat else x
+        if xc.shape[0] != n * Tl:
+            raise ValueError(f"expected {n * Tl} samples per block, got {xc.shape[0]}")
+        y, state = fn(params, state, xc.reshape(n, Tl, Cin))
+        y = y.reshape(n * Tl, -1)
+        return (y[:, 0] if flat else y), state
+
+    return state0, step

@@ -24,16 +24,30 @@ _lib_lock = threading.Lock()
 _build_attempted = False
 
 
+ABI_VERSION = 2  # keep in sync with nam_native_abi_version()
+
+
+def _needs_rebuild() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.nam_native_abi_version.restype = ctypes.c_int
+        return lib.nam_native_abi_version() != ABI_VERSION
+    except (OSError, AttributeError):
+        return True
+
+
 def _try_load() -> Optional[ctypes.CDLL]:
     global _lib, _build_attempted
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build_attempted:
+        if _needs_rebuild() and not _build_attempted:
             _build_attempted = True
             try:
                 subprocess.run(
-                    ["make", "-s", "lib"],
+                    ["make", "-sB", "lib"],
                     cwd=os.path.abspath(_NATIVE_DIR),
                     check=True,
                     capture_output=True,
@@ -64,7 +78,24 @@ def _try_load() -> Optional[ctypes.CDLL]:
         lib.nam_ring_push.argtypes = [ctypes.c_void_p, f32p]
         lib.nam_ring_pop.restype = ctypes.c_int
         lib.nam_ring_pop.argtypes = [ctypes.c_void_p, f32p]
+        lib.nam_pool_create.restype = ctypes.c_void_p
+        lib.nam_pool_create.argtypes = [i64, i64, i64]
+        lib.nam_pool_destroy.argtypes = [ctypes.c_void_p]
+        lib.nam_pool_size.restype = i64
+        lib.nam_pool_size.argtypes = [ctypes.c_void_p, i64]
+        lib.nam_pool_push.restype = ctypes.c_int
+        lib.nam_pool_push.argtypes = [ctypes.c_void_p, i64, f32p]
+        lib.nam_pool_pop.restype = ctypes.c_int
+        lib.nam_pool_pop.argtypes = [ctypes.c_void_p, i64, f32p]
+        lib.nam_pool_push_range.restype = i64
+        lib.nam_pool_push_range.argtypes = [ctypes.c_void_p, i64, i64, f32p]
+        lib.nam_pool_pop_all_tb.restype = i64
+        lib.nam_pool_pop_all_tb.argtypes = [ctypes.c_void_p, f32p]
+        lib.nam_pool_push_all_tb.restype = i64
+        lib.nam_pool_push_all_tb.argtypes = [ctypes.c_void_p, f32p]
         lib.nam_native_abi_version.restype = ctypes.c_int
+        if lib.nam_native_abi_version() != ABI_VERSION:
+            return None  # stale library and rebuild failed: use numpy fallbacks
         _lib = lib
         return _lib
 
@@ -186,6 +217,86 @@ class BlockRing:
         try:
             if getattr(self, "_h", None) is not None:
                 self._lib.nam_ring_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+
+class RingPool:
+    """Per-stream SPSC ring pool with fused batch assembly/demux: the farm's
+    hot path gathers one block per stream directly into the engine's (T, B)
+    device layout (and scatters back) in one native pass, instead of a
+    Python pop-loop plus a separate transpose. Falls back to numpy rings."""
+
+    def __init__(self, n_streams: int, capacity: int, block_len: int):
+        self.n_streams = int(n_streams)
+        self.block_len = int(block_len)
+        self._lib = _try_load()
+        if self._lib is not None:
+            self._h = self._lib.nam_pool_create(self.n_streams, int(capacity), self.block_len)
+            self._rings = None
+        else:
+            self._h = None
+            self._rings = [BlockRing(capacity, block_len) for _ in range(self.n_streams)]
+
+    def push(self, stream: int, block: np.ndarray) -> bool:
+        block = np.ascontiguousarray(block, dtype=np.float32).reshape(-1)
+        assert block.size == self.block_len
+        if self._h is not None:
+            return bool(self._lib.nam_pool_push(self._h, int(stream), _fptr(block)))
+        return self._rings[stream].push(block)
+
+    def push_range(self, first: int, blocks: np.ndarray) -> int:
+        """blocks: (n, T) for streams [first, first+n). Returns #accepted."""
+        blocks = np.ascontiguousarray(blocks, dtype=np.float32)
+        if self._h is not None:
+            return int(self._lib.nam_pool_push_range(self._h, int(first), blocks.shape[0], _fptr(blocks)))
+        return sum(self._rings[first + i].push(blocks[i]) for i in range(blocks.shape[0]))
+
+    def pop(self, stream: int) -> Optional[np.ndarray]:
+        if self._h is not None:
+            out = np.empty(self.block_len, np.float32)
+            if self._lib.nam_pool_pop(self._h, int(stream), _fptr(out)):
+                return out
+            return None
+        return self._rings[stream].pop()
+
+    def pop_all_tb(self, out_tb: np.ndarray) -> int:
+        """Pop one block per stream into (T, B) layout (zeros when empty).
+        Returns the number of streams that had input."""
+        assert out_tb.shape == (self.block_len, self.n_streams) and out_tb.dtype == np.float32
+        if self._h is not None:
+            return int(self._lib.nam_pool_pop_all_tb(self._h, _fptr(out_tb)))
+        fed = 0
+        for i, r in enumerate(self._rings):
+            blk = r.pop()
+            if blk is None:
+                out_tb[:, i] = 0.0
+            else:
+                out_tb[:, i] = blk
+                fed += 1
+        return fed
+
+    def push_all_tb(self, in_tb: np.ndarray) -> int:
+        """Scatter a (T, B) result into the per-stream rings."""
+        in_tb = np.ascontiguousarray(in_tb, dtype=np.float32)
+        assert in_tb.shape == (self.block_len, self.n_streams)
+        if self._h is not None:
+            return int(self._lib.nam_pool_push_all_tb(self._h, _fptr(in_tb)))
+        ok = 0
+        for i, r in enumerate(self._rings):
+            ok += r.push(np.ascontiguousarray(in_tb[:, i]))
+        return ok
+
+    def size(self, stream: int) -> int:
+        if self._h is not None:
+            return int(self._lib.nam_pool_size(self._h, int(stream)))
+        return len(self._rings[stream])
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None) is not None:
+                self._lib.nam_pool_destroy(self._h)
                 self._h = None
         except Exception:
             pass

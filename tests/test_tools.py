@@ -147,7 +147,41 @@ def test_block_ring_fifo_and_backpressure():
 # -- StreamFarm --------------------------------------------------------------
 
 
+def _farm_reference(m, x, B, T, n_blocks):
+    st = m.init_state(B)
+    ref = []
+    for blk in range(n_blocks):
+        y, st = m.process(x[:, blk * T : (blk + 1) * T], st)
+        ref.append(np.asarray(y))
+    return np.concatenate(ref, axis=1)
+
+
+def test_ring_pool_assembly_demux():
+    """RingPool: fused (T, B) assembly/demux against per-stream push/pop."""
+    from neuralampmodelercore_tpu.utils.native import RingPool
+
+    B, T = 5, 16
+    p = RingPool(B, 4, T)
+    rng = np.random.default_rng(0)
+    blocks = rng.standard_normal((B, T)).astype(np.float32)
+    assert p.push_range(0, blocks[:3]) == 3  # bulk feeder path
+    assert p.push(3, blocks[3]) and p.push(4, blocks[4])
+    out = np.zeros((T, B), np.float32)
+    assert p.pop_all_tb(out) == B
+    np.testing.assert_array_equal(out, blocks.T)
+    # empty streams read as zeros and don't count as fed
+    assert p.push(1, blocks[1])
+    assert p.pop_all_tb(out) == 1
+    assert (out[:, 0] == 0).all() and np.array_equal(out[:, 1], blocks[1])
+    # scatter + per-stream pop roundtrip
+    tb = rng.standard_normal((T, B)).astype(np.float32)
+    assert p.push_all_tb(tb) == B
+    np.testing.assert_array_equal(p.pop(2), tb[:, 2])
+
+
 def test_stream_farm_end_to_end():
+    """Pipelined (double-buffered) dispatch: block N-1's output lands during
+    block N's device step; flush() drains the last in-flight block."""
     from neuralampmodelercore_tpu.utils.streaming import StreamFarm
 
     m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
@@ -165,19 +199,42 @@ def test_stream_farm_end_to_end():
             assert farm.push(b, x[b, blk * T : (blk + 1) * T])
         fed = farm.dispatch()
         assert fed == B
+    farm.flush()
+    for b in range(B):
+        while True:
+            o = farm.pull(b)
+            if o is None:
+                break
+            outs[b].append(o)
+    got = np.stack([np.concatenate(o) for o in outs])
+    assert got.shape == (B, 3 * T)
+
+    # Must equal direct engine processing of the same streams.
+    ref = _farm_reference(m, x, B, T, 3)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_stream_farm_sync_mode():
+    """pipeline=False: each dispatch() demuxes its own block immediately."""
+    from neuralampmodelercore_tpu.utils.streaming import StreamFarm
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    m.prewarm_on_reset = False
+    B, T = 4, 32
+    farm = StreamFarm(m, batch=B, block_size=T, pipeline=False)
+    farm.start()
+    rng = np.random.default_rng(6)
+    x = (rng.standard_normal((B, 2 * T)) * 0.3).astype(np.float32)
+    outs = [[] for _ in range(B)]
+    for blk in range(2):
+        farm.push_range(0, x[:, blk * T : (blk + 1) * T])
+        farm.dispatch()
         for b in range(B):
             o = farm.pull(b)
             assert o is not None
             outs[b].append(o)
     got = np.stack([np.concatenate(o) for o in outs])
-
-    # Must equal direct engine processing of the same streams.
-    st = m.init_state(B)
-    ref = []
-    for blk in range(3):
-        y, st = m.process(x[:, blk * T : (blk + 1) * T], st)
-        ref.append(np.asarray(y))
-    ref = np.concatenate(ref, axis=1)
+    ref = _farm_reference(m, x, B, T, 2)
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
