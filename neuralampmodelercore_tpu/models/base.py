@@ -121,6 +121,19 @@ class Model:
             raise RuntimeError("Model doesn't know its output level.")
         return self.metadata.output_level_dbu
 
+    def set_loudness(self, loudness: float) -> None:
+        """(reference: DSP::SetLoudness, NAM/dsp.h:185-189 — hosts may
+        override/provide the calibration after load)"""
+        self.metadata.loudness = float(loudness)
+
+    def set_input_level(self, input_level_dbu: float) -> None:
+        """(reference: DSP::SetInputLevel, NAM/dsp.h:181-183)"""
+        self.metadata.input_level_dbu = float(input_level_dbu)
+
+    def set_output_level(self, output_level_dbu: float) -> None:
+        """(reference: DSP::SetOutputLevel, NAM/dsp.h:191-195)"""
+        self.metadata.output_level_dbu = float(output_level_dbu)
+
     # -- state management ----------------------------------------------------
 
     def get_prewarm_samples(self) -> int:

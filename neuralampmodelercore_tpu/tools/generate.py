@@ -199,6 +199,29 @@ def wavenet_preset(name: str = "standard") -> dict:
     return {"layers": presets[name], "head": None, "head_scale": 0.02}
 
 
+def with_condition_dsp(config: dict, condition_doc: dict) -> dict:
+    """Nest a full .nam document as the config's condition DSP and rewire
+    every layer's condition_size to the nested model's output channel count
+    (reference: the condition-DSP recursion, NAM/wavenet/model.cpp:841-852;
+    channel-match validation model.cpp:591-600). condition_doc comes from
+    make_nam — any architecture."""
+    sub_cfg = condition_doc["config"]
+    arch = condition_doc["architecture"]
+    if arch == "WaveNet":
+        last = sub_cfg["layers"][-1]
+        out = (
+            sub_cfg["head"]["out_channels"] if sub_cfg.get("head")
+            else last.get("head_size") or last["head"]["out_channels"]
+        )
+    elif arch == "LSTM":
+        out = sub_cfg.get("out_channels", 1)
+    else:  # ConvNet / Linear heads are mono
+        out = sub_cfg.get("out_channels", 1)
+    cfg = dict(config, condition_dsp=condition_doc)
+    cfg["layers"] = [dict(lc, condition_size=out) for lc in config["layers"]]
+    return cfg
+
+
 def main(argv=None) -> int:
     import argparse
 
@@ -207,9 +230,18 @@ def main(argv=None) -> int:
     ap.add_argument("--arch", default="WaveNet", choices=["WaveNet", "LSTM", "ConvNet", "Linear"])
     ap.add_argument("--preset", default="standard", help="WaveNet preset (simple|standard)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--condition-dsp", default=None, choices=["WaveNet", "LSTM"],
+                    help="nest a generated model of this architecture as the condition DSP")
     args = ap.parse_args(argv)
     if args.arch == "WaveNet":
         config = wavenet_preset(args.preset)
+        if args.condition_dsp == "WaveNet":
+            sub = make_nam("WaveNet", wavenet_preset("simple"), seed=args.seed + 1)
+            config = with_condition_dsp(config, sub)
+        elif args.condition_dsp == "LSTM":
+            sub = make_nam("LSTM", {"input_size": 1, "hidden_size": 4, "num_layers": 1,
+                                    "out_channels": 2}, seed=args.seed + 1)
+            config = with_condition_dsp(config, sub)
     elif args.arch == "LSTM":
         config = {"input_size": 1, "hidden_size": 16, "num_layers": 2}
     elif args.arch == "ConvNet":

@@ -112,3 +112,66 @@ def test_render_equals_streaming():
         outs.append(np.asarray(y)[0])
     y_stream = np.concatenate(outs)
     np.testing.assert_allclose(y_render, y_stream, atol=1e-5)
+
+
+def test_flagship_depth_block_invariance():
+    """The flagship (receptive field 4,092) through the GENERIC tier with
+    mixed block sizes including 1, over >= 2x its receptive field — the
+    deep-ring analog of the reference's buffer-size invariance
+    (tools/test/test_wavenet/test_full.cpp). Engine/pallas tiers are pinned
+    to this tier elsewhere (tests/test_engine.py, tests/test_pallas_stack.py)."""
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_a1_standard.nam"))
+    m.prewarm_on_reset = False
+    rng = np.random.default_rng(11)
+    n = 8192
+    x = (rng.standard_normal((1, n)) * 0.3).astype(np.float32)
+
+    state = m.init_state(1)
+    y_full, _ = m.process(x, state)
+    y_full = np.asarray(y_full)
+
+    # Mixed sizes incl. 1 force every splice offset through the deep rings;
+    # the cycle repeats every 1+64+37+1+512+128 = 743 samples (not a divisor
+    # of any dilation) so phases keep shifting.
+    y = _blocked(m, x, [1, 64, 37, 1, 512, 128])
+    np.testing.assert_allclose(y, y_full, atol=2e-5)
+
+
+def test_fuse_mixin_hook_pinned_disabled_but_correct():
+    """_can_fuse_mixin is measured-off (docs/performance.md: stack alignment
+    beats op count) but the ring_conv_step(extra=...) hook it reserves must
+    stay correct so a padded-stack variant can re-enable it. Pin both."""
+    import jax.numpy as jnp
+
+    from neuralampmodelercore_tpu.models.wavenet import _can_fuse_mixin
+    from neuralampmodelercore_tpu.ops.layers import Conv1dSpec, Conv1x1Spec
+    from neuralampmodelercore_tpu.ops.ring import (
+        conv1x1_ctb,
+        ring_conv_init,
+        ring_conv_step,
+    )
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_a1_standard.nam"))
+    for ac in m.config.layer_arrays:
+        for i in range(ac.num_layers):
+            assert _can_fuse_mixin(ac, i) is False  # pinned: disabled
+
+    # The hook itself: fused [W_conv | W_mixin] @ [taps; cond] must equal
+    # conv(x) + mixin(cond).
+    rng = np.random.default_rng(0)
+    C, O, S, K, d, T, B = 6, 5, 3, 3, 2, 16, 4
+    spec = Conv1dSpec(C, O, K, d, bias=True)
+    w = rng.standard_normal((O, K * C)).astype(np.float32)
+    b = rng.standard_normal(O).astype(np.float32)
+    mw = rng.standard_normal((O, S)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((C, T, B)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((S, T, B)).astype(np.float32))
+
+    st = ring_conv_init(spec, T, B)
+    y_sep, _ = ring_conv_step(spec, T, {"w": jnp.asarray(w), "b": jnp.asarray(b)}, st, x)
+    y_sep = y_sep + conv1x1_ctb(Conv1x1Spec(S, O, bias=False), {"w": jnp.asarray(mw)}, cond)
+
+    st = ring_conv_init(spec, T, B)
+    fused = {"w": jnp.asarray(np.concatenate([w, mw], axis=1)), "b": jnp.asarray(b)}
+    y_fused, _ = ring_conv_step(spec, T, fused, st, x, extra=cond)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_sep), atol=1e-5)

@@ -307,3 +307,39 @@ def test_engine_from_meta_models():
     st2 = eng2.reset(prewarm=False)
     y2, _ = eng2.process(np.zeros((1, 64), np.float32), st2)
     assert np.isfinite(np.asarray(y2)).all()
+
+
+def test_generator_condition_dsp_emission():
+    """Generator emits nested condition-DSP models (the reference's
+    create_wavenet.py --output-channels / condition-dim axis); weight-count
+    bookkeeping excludes the nested weights (they live in their own spec)."""
+    from neuralampmodelercore_tpu.tools.generate import (
+        make_nam,
+        wavenet_preset,
+        with_condition_dsp,
+    )
+
+    for sub_doc in (
+        make_nam("WaveNet", wavenet_preset("simple"), seed=3),
+        make_nam("LSTM", {"input_size": 1, "hidden_size": 4, "num_layers": 1,
+                          "out_channels": 2}, seed=5),
+    ):
+        cfg = with_condition_dsp(wavenet_preset("simple"), sub_doc)
+        m = nam.load_model(make_nam("WaveNet", cfg, seed=4))
+        assert m.config.condition_config is not None
+        st = m.init_state(1)
+        x = (np.random.default_rng(0).standard_normal((1, 96)) * 0.3).astype(np.float32)
+        y, _ = m.process(x, st)
+        assert np.isfinite(np.asarray(y)).all()
+
+
+def test_loudness_level_setters():
+    """(reference: DSP::SetLoudness/SetInputLevel/SetOutputLevel,
+    NAM/dsp.h:181-195)"""
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    m.set_loudness(-18.5)
+    m.set_input_level(12.0)
+    m.set_output_level(6.0)
+    assert m.has_loudness() and m.get_loudness() == -18.5
+    assert m.has_input_level() and m.get_input_level() == 12.0
+    assert m.has_output_level() and m.get_output_level() == 6.0
