@@ -337,6 +337,13 @@ def time_sharded_stream_step(model: Model, mesh: Mesh, block_per_device: int,
     Cin = model.num_input_channels
 
     def step(params, state, x):
+        if getattr(x, "ndim", 0) == 3:
+            # already in the (n_shards, Tl, C) device layout — e.g. a global
+            # jax.Array assembled per-host with make_array_from_process_local_data
+            # in a multi-host run (tools/multihost_sim.py); no host reshape.
+            if x.shape != (n, Tl, Cin):
+                raise ValueError(f"expected {(n, Tl, Cin)} shards, got {x.shape}")
+            return fn(params, state, x)
         x = jnp.asarray(x, dtype=jnp.float32)
         flat = x.ndim == 1
         xc = x[:, None] if flat else x
