@@ -8,9 +8,16 @@ percentiles against the real-time deadline (64/48000 s = 1333 us/block). Here
 the block step is batched over B independent streams; we find the largest B
 that sustains real time and report it as streams/chip.
 
+Beyond the headline flagship number, every BASELINE.json config gets its own
+real-time stream count (the reference's benchmodel runs on *any* model,
+tools/benchmodel.cpp:103-143): lstm, wavenet_a2_max, condition_dsp, the A2
+container at both widths, and the slimmable wavenet — each at its own gated
+precision, power-of-2 batch resolution. The flagship number is additionally
+reported at f32-exact precision ("f32_exact_streams").
+
 Prints ONE JSON line:
   {"metric": "realtime_streams_per_chip", "value": N, "unit": "streams",
-   "vs_baseline": N/1000, ...}
+   "vs_baseline": N/1000, ..., "f32_exact_streams": N, "models": {...}}
 vs_baseline is against the BASELINE.json north-star target of 1000
 real-time streams per chip.
 """
@@ -118,6 +125,59 @@ def _snr_check(model, candidate: str) -> float:
     return float(np.abs(outs["highest"] - outs[candidate]).max())
 
 
+# Secondary configs (BASELINE.json list): (name, model file, slim value or
+# None, starting batch for the doubling ladder). Power-of-2 batch resolution
+# only (no refinement) to bound bench wall time; all WaveNets route to the
+# fused Pallas kernel whose dots are pinned f32-exact, LSTM runs the XLA
+# engine tier at the gated precision.
+SECONDARY = [
+    ("lstm", "/root/reference/example_models/lstm.nam", None, 4096),
+    ("wavenet_a2_max", "/root/reference/example_models/wavenet_a2_max.nam", None, 512),
+    ("wavenet_condition_dsp", "/root/reference/example_models/wavenet_condition_dsp.nam", None, 512),
+    ("A2_nano", "/root/reference/example_models/A2.nam", 0.3, 2048),
+    ("A2_standard", "/root/reference/example_models/A2.nam", 1.0, 1024),
+    ("slimmable_wavenet_w1.0", "/root/reference/example_models/slimmable_wavenet.nam", 1.0, 1024),
+]
+
+
+def _bench_secondary(nam, gc):
+    """Doubling-only real-time ladder for every secondary config."""
+    results = {}
+    for name, path, slim, start_B in SECONDARY:
+        model = nam.load_model(path)
+        if slim is not None:
+            model.set_slimmable_size(slim)
+        active = getattr(model, "active_model", model)
+        active.prewarm_on_reset = False
+        deadline = BLOCK / SR
+        best_B, best_stats, B = 0, None, start_B
+        while B <= (1 << 17):
+            try:
+                stats = _bench_batch(active, B, block=BLOCK, n_iters=100, warmup=10)
+            except Exception as e:
+                print(f"# {name} B={B} failed: {type(e).__name__}: {e}", file=sys.stderr)
+                break
+            finally:
+                gc.collect()
+            rt = stats["sustained"] <= deadline and stats["p50"] <= deadline * 1.5
+            print(f"# {name} B={B}: p50={stats['p50']*1e6:.0f}us rt={rt}", file=sys.stderr)
+            if rt:
+                best_B, best_stats = B, stats
+                B *= 2
+            else:
+                break
+        if best_B:
+            results[name] = {
+                "streams": best_B,
+                "p50_us": round(best_stats["p50"] * 1e6, 1),
+                "p99_us": round(best_stats["p99"] * 1e6, 1),
+                "block": BLOCK,
+            }
+        else:
+            results[name] = {"streams": 0, "block": BLOCK}
+    return results
+
+
 def main():
     import gc
 
@@ -222,7 +282,15 @@ def main():
             "p50_latency_ms": round((best_block / SR + best_stats["p50"]) * 1e3, 2),
             "block": best_block,
             "model": "wavenet_a1_standard",
+            # The fused Pallas kernel pins its dots to f32-exact
+            # (ops/pallas/stack.py DOT_PRECISION = HIGHEST; the bf16 single
+            # pass was measured and rejected) — the headline IS the
+            # f32-exact number. set_matmul_precision only affects the XLA
+            # engine tier (lstm and fallback configs).
+            "f32_exact_streams": best_B,
+            "dot_precision": "f32_exact",
         }
+        out["models"] = _bench_secondary(nam, gc)
     print(json.dumps(out))
 
 
@@ -247,7 +315,7 @@ def _watchdog_main():
             text=True,
         )
         try:
-            out, _ = proc.communicate(timeout=1500)
+            out, _ = proc.communicate(timeout=2700)
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait()

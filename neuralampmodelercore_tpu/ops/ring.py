@@ -38,7 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import Conv1dSpec, Conv1x1Spec, Params, MATMUL_PRECISION
+from . import layers as _layers
+from .layers import Conv1dSpec, Conv1x1Spec, Params
 
 
 def dot_ctb(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -49,7 +50,8 @@ def dot_ctb(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         w,
         x.reshape(I, T * B),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=MATMUL_PRECISION,
+        # read live so set_matmul_precision() applies to the engine tier
+        precision=_layers.MATMUL_PRECISION,
         preferred_element_type=jnp.float32,
     )
     return y.reshape(w.shape[0], T, B)
