@@ -195,6 +195,30 @@ def wavenet_preset(name: str = "standard") -> dict:
                  dilations=[1, 2, 4, 8, 16, 32, 64, 128, 256, 512], activation="Tanh",
                  gated=False, head_bias=True),
         ],
+        # (reference: create_wavenet.py:331-414 — SMALL/MEDIUM/LARGE examples)
+        "small": [
+            dict(input_size=1, condition_size=1, head_size=8, channels=16, kernel_size=3,
+                 dilations=[1, 2, 4, 8, 16, 32], activation="Tanh",
+                 gated=False, head_bias=False),
+            dict(input_size=16, condition_size=1, head_size=1, channels=8, kernel_size=3,
+                 dilations=[64, 128, 256], activation="Tanh", gated=False, head_bias=True),
+        ],
+        "medium": [
+            dict(input_size=1, condition_size=1, head_size=16, channels=32, kernel_size=3,
+                 dilations=[1, 2, 4, 8, 16, 32, 64, 128, 256, 512], activation="Tanh",
+                 gated=False, head_bias=False),
+            dict(input_size=32, condition_size=1, head_size=1, channels=16, kernel_size=3,
+                 dilations=[1, 2, 4, 8, 16, 32, 64, 128, 256, 512], activation="Tanh",
+                 gated=False, head_bias=True),
+        ],
+        "large": [
+            dict(input_size=1, condition_size=1, head_size=32, channels=64, kernel_size=3,
+                 dilations=[1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024], activation="Tanh",
+                 gated=False, head_bias=False),
+            dict(input_size=64, condition_size=1, head_size=1, channels=32, kernel_size=3,
+                 dilations=[1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024], activation="Tanh",
+                 gated=False, head_bias=True),
+        ],
     }
     return {"layers": presets[name], "head": None, "head_scale": 0.02}
 
@@ -228,7 +252,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="nam-generate", description=__doc__)
     ap.add_argument("output", help="output .nam path")
     ap.add_argument("--arch", default="WaveNet", choices=["WaveNet", "LSTM", "ConvNet", "Linear"])
-    ap.add_argument("--preset", default="standard", help="WaveNet preset (simple|standard)")
+    ap.add_argument("--preset", default="standard", help="WaveNet preset (simple|standard|small|medium|large)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--condition-dsp", default=None, choices=["WaveNet", "LSTM"],
                     help="nest a generated model of this architecture as the condition DSP")
