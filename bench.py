@@ -230,26 +230,33 @@ def main():
             else:
                 break
         if best_B:
-            lo, hi = best_B, B
-            while hi - lo > max(lo // 8, 128):
-                mid = (lo + hi) // 2 // 128 * 128
-                if mid in (lo, hi):
-                    break
-                try:
-                    stats = _bench_batch(model, mid, block=block)
-                except Exception:
-                    break
-                finally:
-                    gc.collect()
-                rt = stats["sustained"] <= deadline and stats["p50"] <= deadline * 1.5
-                print(
-                    f"# refine T={block} B={mid}: sustained={stats['sustained']*1e6:.0f}us rt={rt}",
-                    file=sys.stderr,
-                )
-                if rt:
-                    lo, best_B, best_stats = mid, mid, stats
-                else:
-                    hi = mid
+            # Refine on a 512-stream grid FIRST: the fused kernel's tile
+            # width drops (1024/512 -> 256/128) when the batch isn't
+            # divisible, so off-grid batches measure artificially slow —
+            # round 1's refinement missed T=128 B=4096 (2540us, rt) because
+            # it probed 3968/4480/5376 (256-wide tiles, all >2.7ms).
+            for grid in (512, 128):
+                lo, hi = best_B, B
+                while hi - lo > grid:
+                    mid = (lo + hi) // 2 // grid * grid
+                    if mid in (lo, hi) or mid <= 0:
+                        break
+                    try:
+                        stats = _bench_batch(model, mid, block=block)
+                    except Exception:
+                        break
+                    finally:
+                        gc.collect()
+                    rt = stats["sustained"] <= deadline and stats["p50"] <= deadline * 1.5
+                    print(
+                        f"# refine T={block} B={mid}: sustained={stats['sustained']*1e6:.0f}us rt={rt}",
+                        file=sys.stderr,
+                    )
+                    if rt:
+                        lo, best_B, best_stats = mid, mid, stats
+                    else:
+                        hi = mid
+                B = hi
         return best_B, best_stats
 
     best = (0, None, BLOCK)

@@ -52,8 +52,17 @@ class StreamEngine:
             from ..ops.pallas import stack as _stack
 
             reason = _stack.supports(model.config, self.block_size, self.batch)
+            # auto picks the measured-fastest tier: condition-DSP models run
+            # their pre-pass on the XLA engine anyway, and the hybrid
+            # XLA-prepass + pallas-main program measured ~4x SLOWER than the
+            # pure XLA step on the example corpus (tools/diag: 736 vs 196
+            # us/block at B=512) — the pallas_call serializes against the
+            # pre-pass and the main nets of such models are tiny. Explicit
+            # kernel="pallas" still takes the fused path.
+            has_cond = getattr(model.config, "condition_config", None) is not None
             if reason is None and (
-                kernel == "pallas" or _jax.default_backend() == "tpu"
+                kernel == "pallas"
+                or (_jax.default_backend() == "tpu" and not has_cond)
             ):
                 use_pallas = True
             elif kernel == "pallas":

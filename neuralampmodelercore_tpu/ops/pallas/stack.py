@@ -150,15 +150,17 @@ def _footprint_rows(cfg, T: int) -> int:
 
 
 def _pick_w(cfg, T: int, batch: int) -> int:
-    """Largest tile width (512/256/128 streams) that divides the batch and
-    keeps the kernel's VMEM footprint inside budget. Measured on v5e
-    (tools/ablate_pallas_stack.py): 256-stream tiles are ~30% faster than
-    128 on the flagship — fewer grid steps amortize per-tile DMA waits and
-    stores. A tile is processed as H = width/128 half-tiles of 128 streams
-    whose compute stages are software-pipelined against each other (heavy
-    VPU activations of one half overlap MXU dots of the next)."""
+    """Largest tile width (1024/512/256/128 streams) that divides the batch
+    and keeps the kernel's VMEM footprint inside budget. Measured on v5e
+    (tools/ablate_pallas_stack.py + round-2 probes): wider is monotonically
+    faster while it fits — 256 is ~30% over 128, and 1024 shaves another
+    ~2.5% over 512 at flagship T=64 B=4096 — fewer grid steps amortize
+    per-tile DMA waits and stores. A tile is processed as H = width/128
+    half-tiles of 128 streams whose compute stages are software-pipelined
+    against each other (heavy VPU activations of one half overlap MXU dots
+    of the next)."""
     rows = _footprint_rows(cfg, T)
-    for w in (512, 256, 128):
+    for w in (1024, 512, 256, 128):
         if batch % w == 0 and rows * T * w * 4 <= VMEM_BUDGET:
             return w
     return 0  # not even a 128-stream tile fits: caller must fall back

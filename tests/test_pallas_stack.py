@@ -141,6 +141,19 @@ def test_blended_head1x1():
     _run_equivalence(_wavenet_model(config), T=8, n_blocks=10)
 
 
+def test_eight_half_tiles_wavefront():
+    """B=1024 engages W=1024 tiles (H=8) — the widest ladder rung."""
+    global B
+    old = B
+    try:
+        globals()["B"] = 1024
+        m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+        assert stack._pick_w(m.config, 8, 1024) == 1024
+        _run_equivalence(m, T=8, n_blocks=3)
+    finally:
+        globals()["B"] = old
+
+
 def test_two_half_tiles_wavefront():
     """B=256 engages H=2 half-tiles with the stage-interleaved wavefront."""
     global B
@@ -322,8 +335,8 @@ def test_tile_width_budget_model():
     assert stack._footprint_rows(cfg, 128) == 208
     # T=240: offset splices double the chunk reads -> nc=4, rows=272
     assert stack._footprint_rows(cfg, 240) == 272
-    assert stack._pick_w(cfg, 64, 2048) == 512     # 26 MB
-    assert stack._pick_w(cfg, 128, 2048) == 512    # 52 MB
+    assert stack._pick_w(cfg, 64, 2048) == 1024    # 55 MB
+    assert stack._pick_w(cfg, 128, 2048) == 512    # 52 MB; 1024 would be 109 MB
     assert stack._pick_w(cfg, 240, 2048) == 256    # 64 MB; 512 would be 128 MB
     assert stack._pick_w(cfg, 240, 2048 + 256) == 256  # width must divide batch
     assert stack._pick_w(cfg, 128, 128) == 128
