@@ -90,7 +90,20 @@ def main(argv=None) -> int:
     ap.add_argument("--atol", type=float, default=5e-5,
                     help="fail threshold on max abs diff (reference's own "
                          "fast-vs-generic tolerance, test_a2_fast.cpp:276-278)")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "device"],
+                    help="cpu (default): force the host platform — required on "
+                         "this sandbox, whose sitecustomize overrides the "
+                         "JAX_PLATFORMS env var and would route these per-block "
+                         "single-stream renders over the TPU tunnel (~24 ms "
+                         "round-trip per block = hours, or a wedged backend); "
+                         "device: use whatever backend jax picks")
     args = ap.parse_args(argv)
+
+    if args.platform == "cpu":
+        # Mirrors tests/conftest.py: the env var alone is not enough here.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from neuralampmodelercore_tpu.utils.audio import read_wav
 
