@@ -97,6 +97,7 @@ def _bench_batch(model, B, block=BLOCK, n_iters=200, warmup=20):
         "min": runs[0],
         "max": runs[-1],
         "sustained": runs[1],
+        "kernel": engine.kernel,
     }
 
 
@@ -127,9 +128,12 @@ def _snr_check(model, candidate: str) -> float:
 
 # Secondary configs (BASELINE.json list): (name, model file, slim value or
 # None, starting batch for the doubling ladder). Power-of-2 batch resolution
-# only (no refinement) to bound bench wall time; all WaveNets route to the
-# fused Pallas kernel whose dots are pinned f32-exact, LSTM runs the XLA
-# engine tier at the gated precision.
+# only (no refinement) to bound bench wall time. Kernel tier is whatever
+# "auto" picks and is recorded per config in the output: plain WaveNets run
+# the fused Pallas kernel (dots pinned f32-exact); condition-DSP WaveNets
+# (a2_max, condition_dsp) and the LSTM run the XLA engine tier at the gated
+# precision (models/engine.py auto rule — the hybrid pallas path measured
+# slower for condition models).
 SECONDARY = [
     ("lstm", "/root/reference/example_models/lstm.nam", None, 4096),
     ("wavenet_a2_max", "/root/reference/example_models/wavenet_a2_max.nam", None, 512),
@@ -172,6 +176,7 @@ def _bench_secondary(nam, gc):
                 "p50_us": round(best_stats["p50"] * 1e6, 1),
                 "p99_us": round(best_stats["p99"] * 1e6, 1),
                 "block": BLOCK,
+                "kernel": best_stats.get("kernel", "?"),
             }
         else:
             results[name] = {"streams": 0, "block": BLOCK}
@@ -289,6 +294,7 @@ def main():
             "p50_latency_ms": round((best_block / SR + best_stats["p50"]) * 1e3, 2),
             "block": best_block,
             "model": "wavenet_a1_standard",
+            "kernel": best_stats.get("kernel", "?"),
             # The fused Pallas kernel pins its dots to f32-exact
             # (ops/pallas/stack.py DOT_PRECISION = HIGHEST; the bf16 single
             # pass was measured and rejected) — the headline IS the

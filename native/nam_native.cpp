@@ -375,4 +375,12 @@ int nam_native_abi_version()
   return 2;
 }
 
+// Embedded marker so the Python loader can check the on-disk library's ABI
+// WITHOUT dlopen-ing it: glibc dedupes dlopen by pathname, so probing a
+// stale library in-process would pin the stale image for the process
+// lifetime even after a successful rebuild (utils/native.py _needs_rebuild).
+// volatile + used keeps the literal in the emitted .so at any -O level.
+extern const volatile char nam_native_abi_marker[] __attribute__((used)) =
+    "NAM_NATIVE_ABI=2";
+
 } // extern "C"

@@ -120,7 +120,11 @@ def _footprint_rows(cfg, T: int) -> int:
     (tools/sweep_vmem_tiles.py) by tests/test_pallas_stack.py."""
     rows = 0
     for ac in cfg.layer_arrays:
-        C = ac.channels
+        # Count PHYSICAL rows: every VMEM buffer pads its sublane
+        # (second-to-minor) dim to a multiple of 8 — both the explicitly
+        # _pad8-allocated DMA buffers and Mosaic's tiling of compute values
+        # — so a logical-C count undercounts by up to 8/3x for C=3 models.
+        C = _pad8(ac.channels)
         any_pre_film = dict(ac.films)["conv_pre_film"].active
         for li in range(ac.num_layers):
             K, d = ac.kernel_sizes[li], ac.dilations[li]
@@ -131,7 +135,7 @@ def _footprint_rows(cfg, T: int) -> int:
                 nc = _layer_num_chunks(K, d, T)
             else:
                 nc = 0
-            layer_rows = (2 + 2 * nc + K + 4) * max(C, ac.conv_out_channels(li))
+            layer_rows = (2 + 2 * nc + K + 4) * max(C, _pad8(ac.conv_out_channels(li)))
             if any_pre_film:
                 layer_rows += 2 * C
             rows = max(rows, layer_rows)
@@ -139,13 +143,13 @@ def _footprint_rows(cfg, T: int) -> int:
     for ac in cfg.layer_arrays:
         hr_rf = (ac.head_kernel_size - 1) * ac.head_dilation
         if hr_rf > 0:
-            extra += (2 + ac.head_kernel_size) * ac.head_output_size + ac.head_size
+            extra += (2 + ac.head_kernel_size) * _pad8(ac.head_output_size) + _pad8(ac.head_size)
     if cfg.head is not None:
-        cin = cfg.head.in_channels
+        cin = _pad8(cfg.head.in_channels)
         for k in cfg.head.kernel_sizes:
             if k > 1:
-                extra += (2 + k) * cin + cfg.head.channels
-            cin = cfg.head.channels
+                extra += (2 + k) * cin + _pad8(cfg.head.channels)
+            cin = _pad8(cfg.head.channels)
     return rows + extra
 
 

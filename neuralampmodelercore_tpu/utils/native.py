@@ -28,13 +28,18 @@ ABI_VERSION = 2  # keep in sync with nam_native_abi_version()
 
 
 def _needs_rebuild() -> bool:
+    """Decide staleness WITHOUT dlopen: glibc caches dlopen by pathname, so
+    probing a stale library here would make the post-rebuild CDLL() below
+    return the already-mapped stale image for the rest of the process (the
+    ABI check would then fail forever despite a good build on disk).
+    Instead scan the file for the embedded ABI marker string
+    (nam_native_abi_marker in native/nam_native.cpp)."""
     if not os.path.exists(_LIB_PATH):
         return True
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
-        lib.nam_native_abi_version.restype = ctypes.c_int
-        return lib.nam_native_abi_version() != ABI_VERSION
-    except (OSError, AttributeError):
+        with open(_LIB_PATH, "rb") as f:
+            return f"NAM_NATIVE_ABI={ABI_VERSION}".encode() not in f.read()
+    except OSError:
         return True
 
 
@@ -264,7 +269,16 @@ class RingPool:
     def pop_all_tb(self, out_tb: np.ndarray) -> int:
         """Pop one block per stream into (T, B) layout (zeros when empty).
         Returns the number of streams that had input."""
-        assert out_tb.shape == (self.block_len, self.n_streams) and out_tb.dtype == np.float32
+        if (
+            out_tb.shape != (self.block_len, self.n_streams)
+            or out_tb.dtype != np.float32
+            or not out_tb.flags.c_contiguous
+        ):
+            # Explicit raise (not assert: stripped under python -O): the
+            # native path writes through the raw data pointer assuming a
+            # dense row-major (T, B) buffer; a strided view would be
+            # silently corrupted, not filled.
+            raise ValueError("pop_all_tb needs a C-contiguous float32 (T, B) buffer")
         if self._h is not None:
             return int(self._lib.nam_pool_pop_all_tb(self._h, _fptr(out_tb)))
         fed = 0

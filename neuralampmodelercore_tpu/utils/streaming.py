@@ -56,7 +56,16 @@ class StreamFarm:
         self._in = RingPool(batch, queue_depth, block_size)
         self._out = RingPool(batch, queue_depth, block_size)
         self._state = None
-        self._assembly = np.zeros((block_size, batch), dtype=np.float32)
+        # TWO assembly buffers, alternated per dispatch: jnp.asarray may
+        # alias the host buffer (zero-copy) or transfer it asynchronously,
+        # so block N's buffer must stay untouched until step N is known
+        # complete. Pipelined dispatch N+1 syncs step N (via _demux's
+        # np.asarray) before dispatch N+2 reuses N's buffer, so depth 2 is
+        # exactly enough.
+        self._assembly = [
+            np.zeros((block_size, batch), dtype=np.float32) for _ in range(2)
+        ]
+        self._abuf = 0
         self._pending: Optional[object] = None  # device y of the in-flight block
         # Output blocks dropped because a stream's output ring was full (the
         # consumer fell behind) — the farm's xrun counter. Audio is real time:
@@ -95,8 +104,10 @@ class StreamFarm:
         had real input this block."""
         if self._state is None:
             raise RuntimeError("StreamFarm.dispatch before start()")
-        fed = self._in.pop_all_tb(self._assembly)
-        x = jnp.asarray(self._assembly)[None]  # (1, T, B), async device put
+        buf = self._assembly[self._abuf]
+        self._abuf ^= 1
+        fed = self._in.pop_all_tb(buf)
+        x = jnp.asarray(buf)[None]  # (1, T, B), async device put
         y, self._state = self.engine.step_fn()(self.engine.params, self._state, x)
         if self.pipeline:
             prev, self._pending = self._pending, y

@@ -32,7 +32,16 @@ if REPO not in sys.path:
 
 N_PROC = 2
 LOCAL_DEVICES = 4
-PORT = 9911
+
+
+def _free_port() -> int:
+    """Ephemeral coordinator port: a fixed one flakes when a previous run
+    left it in TIME_WAIT or another service holds it."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 
 def worker(pid: int) -> int:
@@ -40,7 +49,7 @@ def worker(pid: int) -> int:
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
-        coordinator_address=f"localhost:{PORT}",
+        coordinator_address=f"localhost:{os.environ['NAM_MULTIHOST_PORT']}",
         num_processes=N_PROC,
         process_id=pid,
     )
@@ -131,11 +140,13 @@ def main() -> int:
         return 0
     if os.environ.get("NAM_MULTIHOST_PID") is not None:
         return worker(int(os.environ["NAM_MULTIHOST_PID"]))
+    port = _free_port()
     procs = []
     for pid in range(N_PROC):
         env = dict(
             os.environ,
             NAM_MULTIHOST_PID=str(pid),
+            NAM_MULTIHOST_PORT=str(port),
             JAX_PLATFORMS="cpu",
             XLA_FLAGS=f"--xla_force_host_platform_device_count={LOCAL_DEVICES}",
         )
