@@ -39,8 +39,12 @@ NORTH_STAR = 1000.0
 # (BASELINE.json); end-to-end latency = buffering (T/48k) + processing
 # (< T/48k when real-time), so blocks up to ~240 frames stay inside 10 ms.
 # Larger blocks amortize per-step overheads (reference analog:
-# benchmodel_bufsize's buffer-size sweep).
-BLOCK_CANDIDATES = (64, 128, 240)
+# benchmodel_bufsize's buffer-size sweep). T=240 was measured across
+# rounds and never beats T=128's stream count (4096 at both, with far less
+# deadline margin at 240), so it is dropped from the schedule: every probe
+# costs a fresh ~80 s engine compile over this sandbox's TPU tunnel and the
+# whole bench must fit its watchdog budget.
+BLOCK_CANDIDATES = (64, 128)
 
 
 def _sync(y):
@@ -135,13 +139,19 @@ def _snr_check(model, candidate: str) -> float:
 # precision (models/engine.py auto rule — the hybrid pallas path measured
 # slower for condition models).
 SECONDARY = [
-    ("lstm", "/root/reference/example_models/lstm.nam", None, 4096),
+    ("lstm", "/root/reference/example_models/lstm.nam", None, 8192),
     ("wavenet_a2_max", "/root/reference/example_models/wavenet_a2_max.nam", None, 512),
     ("wavenet_condition_dsp", "/root/reference/example_models/wavenet_condition_dsp.nam", None, 512),
     ("A2_nano", "/root/reference/example_models/A2.nam", 0.3, 2048),
     ("A2_standard", "/root/reference/example_models/A2.nam", 1.0, 1024),
     ("slimmable_wavenet_w1.0", "/root/reference/example_models/slimmable_wavenet.nam", 1.0, 1024),
 ]
+
+# Each probe = one fresh engine compile (~80 s over the TPU tunnel); the
+# secondary sweep is bounded to 3 probes per config so the whole bench fits
+# the watchdog budget. start_B values sit one doubling under the measured
+# real-time edge, so 2-3 probes bracket it.
+SECONDARY_MAX_PROBES = 3
 
 
 def _bench_secondary(nam, gc):
@@ -155,7 +165,7 @@ def _bench_secondary(nam, gc):
         active.prewarm_on_reset = False
         deadline = BLOCK / SR
         best_B, best_stats, B = 0, None, start_B
-        while B <= (1 << 17):
+        for _probe in range(SECONDARY_MAX_PROBES):
             try:
                 stats = _bench_batch(active, B, block=BLOCK, n_iters=100, warmup=10)
             except Exception as e:
@@ -185,6 +195,18 @@ def _bench_secondary(nam, gc):
 
 def main():
     import gc
+
+    import jax
+
+    # Persistent compilation cache: probe compiles dominate bench wall time
+    # (~80 s each over this sandbox's TPU tunnel); with the cache, a repeated
+    # shape (watchdog retries, later rounds on the same chip) loads in
+    # seconds. Harmless no-op if the backend can't serialize executables.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
     import neuralampmodelercore_tpu as nam
     from neuralampmodelercore_tpu.ops.layers import set_matmul_precision
@@ -232,6 +254,8 @@ def main():
             if rt:
                 best_B, best_stats = B, stats
                 B *= 2
+            elif best_B == 0 and B > 128:
+                B //= 2  # start_B overshot this chip: walk down to the edge
             else:
                 break
         if best_B:
@@ -265,7 +289,11 @@ def main():
         return best_B, best_stats
 
     best = (0, None, BLOCK)
-    start = 256
+    # Start one compile under the known v5e real-time edge (~3.5k streams at
+    # T=64); the doubling ladder still finds the edge from any hardware —
+    # a slower chip just fails the first probe and the ladder reports 0,
+    # which refinement then cannot inflate.
+    start = 1024
     for block in BLOCK_CANDIDATES:
         b, stats = ladder(block, start_B=start)
         if b > best[0]:
@@ -319,7 +347,7 @@ def _watchdog_main():
     import subprocess
 
     env = dict(os.environ, NAM_BENCH_CHILD="1")
-    for attempt in range(4):
+    for attempt in range(3):
         proc = subprocess.Popen(
             [sys.executable, "-u", os.path.abspath(__file__)],
             env=env,
@@ -328,7 +356,11 @@ def _watchdog_main():
             text=True,
         )
         try:
-            out, _ = proc.communicate(timeout=2700)
+            # The full schedule (2 flagship ladders + 6 per-config sweeps,
+            # each probe a fresh compile over the tunnel) measures ~35-45
+            # min cold; retries are much faster via the persistent
+            # compilation cache.
+            out, _ = proc.communicate(timeout=4500)
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait()
