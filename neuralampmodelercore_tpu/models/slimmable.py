@@ -56,7 +56,12 @@ def config_is_slimmable_wavenet(config: dict) -> bool:
 
 
 def _ratio_to_channels(ratio: float, allowed: List[int]) -> int:
-    """idx = min(floor(ratio * len), len - 1) (reference: slimmable.cpp:100-106)."""
+    """idx = min(floor(ratio * len), len - 1) (reference: slimmable.cpp:100-106).
+    The contract is ratio in [0, 1] (NAM/slimmable.h:19); the reference indexes
+    out of bounds for a negative ratio (UB), and Python would silently WRAP to
+    the largest width — fail loudly instead."""
+    if not 0.0 <= ratio <= 1.0:
+        raise ValueError(f"slimmable size must be in [0, 1], got {ratio}")
     idx = min(int(math.floor(ratio * len(allowed))), len(allowed) - 1)
     return allowed[idx]
 
@@ -154,6 +159,14 @@ def extract_slimmed_weights(
             full_bg = 2 * full_bn if gated else full_bn
             slim_bg = 2 * slim_bn if gated else slim_bn
 
+            # NOTE (parity-faithful quirk): for gated layers / shift-FiLMs the
+            # out dim holds two stacked halves ([primary; gate] or [scale;
+            # shift]), and taking the FIRST slim_bg rows of the 2*full_bn
+            # matrix mixes rows from both halves. The reference does exactly
+            # this (extract_conv1x1/extract_conv1d take rows [0:slim_out]
+            # contiguously, slimmable.cpp:23-70 with slim_out=2*slim_bn at
+            # :169-177) — reproduced, not fixed, so slimmed gated models match
+            # the reference bit-for-bit.
             walk.conv1d(full_ch, full_bg, slim_ch, slim_bg, K)
             walk.conv1x1(cond, full_bg, cond, slim_bg, bias=False)
             if ac.layer1x1_active:
@@ -319,6 +332,10 @@ class SlimmableWavenetModel(SlimmableModelMixin):
         reader.assert_exhausted()
         arch = registry.get_architecture("WaveNet")
         model = Model(arch, slim_cfg, params, self.metadata)
+        # A width built lazily after the user set prewarm_on_reset must
+        # inherit the wrapper's current setting, not the thread-local default
+        # (the setter above only reaches already-built widths).
+        model.prewarm_on_reset = self.prewarm_on_reset
         self._models[key] = model
         return model
 

@@ -44,6 +44,12 @@ def make_mesh(
     'streams' axis. Pass shape/axis_names for 2-D (streams, time) meshes."""
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh: asked for {n_devices} devices, only "
+                f"{len(devices)} available — a silently smaller mesh would "
+                "break callers' divisibility/sharding assumptions"
+            )
         devices = devices[:n_devices]
     if shape is None:
         shape = (len(devices),)
@@ -164,8 +170,30 @@ def dp_sharded_engine_step(engine, mesh: Mesh, axis: str = STREAM_AXIS):
 def _total_context(model: Model) -> int:
     """Samples of left context a device needs so its chunk's outputs match the
     unsharded render: the model's settling time (== prewarm sample count,
-    which is 1 + total receptive field for feedforward archs)."""
-    return int(model.get_prewarm_samples())
+    which is 1 + total receptive field for WaveNet/ConvNet). Linear prewarms
+    0 samples (reference: NAM/dsp.h:155) but its FIR still reads
+    receptive_field-1 history samples, so the halo must cover that."""
+    ctx = int(model.get_prewarm_samples())
+    if model._arch.name == "Linear":
+        ctx = max(ctx, int(model.config.receptive_field) - 1)
+    return ctx
+
+
+def _reject_recurrent(cfg) -> None:
+    """A finite raw-input halo can only reproduce feedforward state; LSTM
+    recurrence is unbounded — anywhere in the model, including nested
+    condition DSPs (reference: condition DSP is any architecture,
+    NAM/wavenet/model.cpp:841-852)."""
+    from ..models.lstm import LSTMConfig
+
+    if isinstance(cfg, LSTMConfig):
+        raise ValueError(
+            "time_sharded_render: LSTM (top-level or nested condition DSP) has "
+            "unbounded recurrence; use stream DP instead"
+        )
+    cond = getattr(cfg, "condition_config", None)
+    if cond is not None:
+        _reject_recurrent(cond)
 
 
 def time_sharded_render(model: Model, mesh: Mesh, x, axis: str = TIME_AXIS):
@@ -179,45 +207,63 @@ def time_sharded_render(model: Model, mesh: Mesh, x, axis: str = TIME_AXIS):
     """
     cfg = model.config
     arch = model._arch
-    if arch.name == "LSTM":
-        raise ValueError(
-            "time_sharded_render: LSTM has unbounded recurrence; use stream DP instead"
-        )
+    _reject_recurrent(cfg)
     context = _total_context(model)
     n = mesh.shape[axis]
     x = jnp.asarray(x, dtype=jnp.float32)
     T = x.shape[0]
     if T % n != 0:
         raise ValueError(f"time_sharded_render: T={T} not divisible by {n} devices")
+    if context > T // n:
+        # The halo would have to span >1 left neighbor; zero-padding it would
+        # silently corrupt every chunk's head. Fail loudly instead.
+        raise ValueError(
+            f"time_sharded_render: context {context} exceeds per-device chunk "
+            f"{T // n}; use fewer devices or a longer signal"
+        )
 
     def local_fn(params, x_local):
         # x_local: (chunk, C) on each device.
         idx = jax.lax.axis_index(axis)
-        chunk = x_local.shape[0]
         # Halo: last `context` samples of the LEFT neighbor's chunk.
-        halo_src = x_local[-context:] if context <= chunk else x_local
-        pad = context - halo_src.shape[0]
-        if pad > 0:
-            halo_src = jnp.concatenate([jnp.zeros((pad, x_local.shape[1]), x_local.dtype), halo_src])
-        perm = [(i, (i + 1) % n) for i in range(n)]
-        halo = jax.lax.ppermute(halo_src, axis, perm)
-        # Device 0 has no left neighbor: its halo is stream-head zeros.
-        halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
-        full = jnp.concatenate([halo, x_local], axis=0)[None]  # (1, context+chunk, C)
+        # (context == 0: no halo — x_local[-0:] would be the WHOLE chunk.)
+        if context > 0:
+            halo_src = x_local[-context:]
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            halo = jax.lax.ppermute(halo_src, axis, perm)
+            # Device 0 has no left neighbor: its halo is stream-head zeros.
+            halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+            full = jnp.concatenate([halo, x_local], axis=0)[None]
+        else:
+            full = x_local[None]
         state = arch.init_state(cfg, params, 1)
         y, _ = arch.step(cfg, params, state, full)
         return y[0, context:, :]
 
-    in_specs = (P(), P(axis, None))
-    out_specs = P(axis, None)
-    fn = jax.jit(
-        jax.shard_map(
-            partial(local_fn),
-            mesh=mesh,
-            in_specs=in_specs,
-            out_specs=out_specs,
-        )
+    # Cache the jitted shard_map per (mesh, chunk geometry): a fresh closure
+    # per call would recompile the whole model graph on every render.
+    cache = model.__dict__.setdefault("_sp_render_cache", {})
+    key = (
+        tuple(d.id for d in mesh.devices.flat),
+        mesh.axis_names,
+        axis,
+        context,
+        T,
+        1 if x.ndim == 1 else x.shape[1],
     )
+    fn = cache.get(key)
+    if fn is None:
+        in_specs = (P(), P(axis, None))
+        out_specs = P(axis, None)
+        fn = jax.jit(
+            jax.shard_map(
+                partial(local_fn),
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+            )
+        )
+        cache[key] = fn
     xc = x[:, None] if x.ndim == 1 else x
     y = fn(model.params, xc)
     return y[:, 0] if x.ndim == 1 else y

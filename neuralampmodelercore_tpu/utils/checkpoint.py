@@ -46,7 +46,10 @@ def save_state(path: str, state: Any, metadata: Optional[dict] = None) -> None:
     arrays["__treedef__"] = np.frombuffer(
         json.dumps({"keys": keys, "metadata": metadata or {}}).encode(), dtype=np.uint8
     )
-    np.savez(path, **arrays)
+    # Write through a file object: np.savez(str) appends '.npz' when the
+    # extension is missing, which would break the save/load path symmetry.
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def load_state(path: str, like: Any, device_put_fn: Optional[Callable] = None) -> Any:
@@ -66,6 +69,11 @@ def load_state(path: str, like: Any, device_put_fn: Optional[Callable] = None) -
             if tuple(arr.shape) != tuple(np.shape(old)):
                 raise ValueError(
                     f"state leaf {k}: snapshot shape {arr.shape} != expected {np.shape(old)}"
+                )
+            old_dtype = np.asarray(old).dtype if not hasattr(old, "dtype") else old.dtype
+            if arr.dtype != old_dtype:
+                raise ValueError(
+                    f"state leaf {k}: snapshot dtype {arr.dtype} != expected {old_dtype}"
                 )
             if device_put_fn is not None:
                 arr = device_put_fn(arr)

@@ -264,3 +264,77 @@ def build_ref_model_mc(doc):
     from ref_engine import build_ref_model
 
     return build_ref_model(doc)
+
+
+def test_time_sharded_render_linear():
+    """Linear prewarms 0 samples but its FIR reads receptive_field-1 history
+    samples — the SP halo must cover the FIR history, and a zero context must
+    not become a whole-chunk halo (x[-0:] pitfall). Regression for both."""
+    from neuralampmodelercore_tpu.parallel.sharding import TIME_AXIS, make_mesh, time_sharded_render
+
+    config = {"receptive_field": 48, "bias": True}
+    doc = generate.make_nam("Linear", config, seed=5, scale=0.1)
+    m = nam.load_model(doc)
+    mesh = make_mesh(axis_names=(TIME_AXIS,))
+    n = mesh.shape[TIME_AXIS]
+    T = 64 * n
+    x = (np.random.default_rng(7).standard_normal(T) * 0.3).astype(np.float32)
+    y_sp = np.asarray(time_sharded_render(m, mesh, x))
+    y_ref = np.asarray(m.render(x))
+    assert y_sp.shape == y_ref.shape
+    np.testing.assert_allclose(y_sp, y_ref, atol=1e-6)
+
+
+def test_time_sharded_render_guards():
+    """Loud failures instead of silently wrong audio: context > chunk
+    (halo would span >1 neighbor) and nested-LSTM condition DSPs (unbounded
+    recurrence) are rejected; make_mesh refuses to shrink silently."""
+    import pytest
+
+    from neuralampmodelercore_tpu.parallel.sharding import TIME_AXIS, make_mesh, time_sharded_render
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    mesh = make_mesh(axis_names=(TIME_AXIS,))
+    n = mesh.shape[TIME_AXIS]
+    ctx = m.get_prewarm_samples()
+    short = np.zeros(max(n, (ctx - 1) // n * n), np.float32)  # chunk < context
+    with pytest.raises(ValueError, match="context"):
+        time_sharded_render(m, mesh, short)
+
+    cond = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_condition_dsp.nam"))
+    from neuralampmodelercore_tpu.models.lstm import LSTMConfig
+
+    if isinstance(cond.config.condition_config, LSTMConfig):
+        with pytest.raises(ValueError, match="recurrence"):
+            time_sharded_render(cond, mesh, np.zeros(8192 * n, np.float32))
+
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(n_devices=n + 1)
+
+
+def test_slimmable_size_out_of_range_raises():
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "slimmable_wavenet.nam"))
+    import pytest
+
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        m.set_slimmable_size(-0.01)
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        m.set_slimmable_size(1.5)
+
+
+def test_checkpoint_path_without_extension_roundtrips(tmp_path):
+    """np.savez appends '.npz' to bare string paths; save_state must not, or
+    save/load with the same path breaks."""
+    from neuralampmodelercore_tpu.utils.checkpoint import load_state, save_state
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "lstm.nam"))
+    st = m.init_state(2)
+    p = str(tmp_path / "ckpt.state")  # no .npz
+    save_state(p, st)
+    assert os.path.exists(p)
+    st2 = load_state(p, m.init_state(2))
+    for a, b in zip(
+        __import__("jax").tree_util.tree_leaves(st),
+        __import__("jax").tree_util.tree_leaves(st2),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
