@@ -48,22 +48,32 @@ def main(argv=None) -> int:
         )
         return 1
 
-    state = model.reset(batch=1, sample_rate=sr, max_buffer_size=args.block)
+    if args.block < 1:
+        print(f"render: --block must be >= 1 (got {args.block})", file=sys.stderr)
+        return 1
 
+    # Select the submodel BEFORE reset: resetting first compiles+prewarms the
+    # default full-size submodel only to throw that state away.
     if args.slim is not None:
         if not isinstance(model, SlimmableModelMixin):
             print("render: model is not slimmable; --slim ignored", file=sys.stderr)
         else:
-            new_state = model.set_slimmable_size(args.slim)
-            if new_state is not None:
-                state = new_state
+            model.set_slimmable_size(args.slim)
 
     if args.full:
         y = np.asarray(model.render(x))
+    elif len(x) == 0:
+        y = x
     else:
+        state = model.reset(batch=1, sample_rate=sr, max_buffer_size=args.block)
         outs = []
         for i in range(0, len(x), args.block):
-            yb, state = model.process(x[None, i : i + args.block], state)
+            blk = x[i : i + args.block]
+            if len(blk) < args.block:
+                # Zero-pad the tail to the block size: a one-off odd shape
+                # would force a fresh trace+compile just for the last block.
+                blk = np.pad(blk, (0, args.block - len(blk)))
+            yb, state = model.process(blk[None], state)
             outs.append(np.asarray(yb)[0])
         y = np.concatenate(outs)[: len(x)]
 

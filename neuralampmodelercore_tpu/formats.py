@@ -46,6 +46,9 @@ def get_sample_rate_from_nam_json(j: dict) -> float:
 def parse_nam_json(j: dict) -> NamData:
     """Parse an in-memory .nam JSON document
     (reference: populate_dsp_data, NAM/get_dsp.cpp:142-155)."""
+    for key in ("version", "architecture", "config"):
+        if key not in j:
+            raise ValueError(f"Corrupted model file is missing {key}.")
     verify_config_version(str(j["version"]))
     if "weights" not in j:
         raise ValueError("Corrupted model file is missing weights.")

@@ -86,6 +86,15 @@ _CUSTOM_LOADERS: Dict[str, Callable[[Any], Any]] = {}
 def register_architecture(arch: ArchDef) -> None:
     """(reference analog: ConfigParserHelper static-init auto-registration,
     NAM/model_config.h:98-104)"""
+    prev = _BY_CONFIG_CLS.get(arch.config_cls)
+    if prev is not None and prev.name != arch.name:
+        # arch_for_config dispatches nested condition-DSP steps by config
+        # TYPE inside traced code; silently rebinding a config class would
+        # misroute built-in configs to the new arch with no error.
+        raise ValueError(
+            f"config class {arch.config_cls.__name__} is already bound to "
+            f'architecture "{prev.name}"; register a distinct config class'
+        )
     _ARCHS[arch.name] = arch
     _BY_CONFIG_CLS[arch.config_cls] = arch
 
@@ -97,12 +106,22 @@ def register_custom_loader(name: str, loader: Callable[[Any], Any]) -> None:
 
 
 def get_architecture(name: str) -> ArchDef:
+    """Look up a BUILT-IN architecture. Custom-loader names (see
+    register_custom_loader) have no ArchDef — they load through
+    get_custom_loader; the error says so to keep the check-then-get pattern
+    on has_architecture from dead-ending silently."""
     if name not in _ARCHS:
+        if name in _CUSTOM_LOADERS:
+            raise ValueError(
+                f'"{name}" is registered as a custom loader, not a built-in '
+                "architecture; load it via get_custom_loader/load_model"
+            )
         raise ValueError(f'Unrecognized architecture "{name}"')
     return _ARCHS[name]
 
 
 def has_architecture(name: str) -> bool:
+    """True when the name is loadable — built-in OR custom loader."""
     return name in _ARCHS or name in _CUSTOM_LOADERS
 
 

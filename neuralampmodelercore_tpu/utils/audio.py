@@ -44,7 +44,12 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
         # the real format code (1 = PCM, 3 = IEEE float).
         audio_format = struct.unpack("<H", fmt_body[24:26])[0]
     if audio_format == 3:
-        x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        if bits == 32:
+            x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(f"{path}: unsupported IEEE-float bit depth {bits}")
     elif audio_format == 1 or audio_format == 0xFFFE:
         if bits not in (16, 24, 32):
             raise ValueError(f"{path}: unsupported PCM bit depth {bits}")

@@ -79,6 +79,9 @@ def _core_checker(version_str: str) -> Supported:
     earliest = parse_version(EARLIEST_SUPPORTED_NAM_FILE_VERSION)
     if parsed < earliest:
         return Supported.NO
+    # NOTE: the minor check is independent of major — a quirk reproduced
+    # from the reference verbatim (get_dsp.cpp:34): if latest ever moves to
+    # 1.0.0, 0.7.0 would be rejected there too. Parity over "fixing" it.
     if parsed.major > latest.major or parsed.minor > latest.minor:
         return Supported.NO
     if latest < parsed:
@@ -101,8 +104,14 @@ def register_version_support_checker(checker: VersionSupportChecker) -> None:
 
 
 def is_version_supported(version_str: str) -> Supported:
+    # Snapshot under the lock, call outside it: a checker that re-enters the
+    # module (registering another checker, or delegating back here) would
+    # deadlock on the non-reentrant lock otherwise. (The reference holds its
+    # mutex across checker calls, get_dsp.cpp:101-112 — same semantics here,
+    # minus the self-deadlock.)
     with _checkers_lock:
-        return max((c(version_str) for c in _checkers), default=Supported.NO)
+        checkers = list(_checkers)
+    return max((c(version_str) for c in checkers), default=Supported.NO)
 
 
 def verify_config_version(version_str: str) -> None:

@@ -343,3 +343,76 @@ def test_loudness_level_setters():
     assert m.has_loudness() and m.get_loudness() == -18.5
     assert m.has_input_level() and m.get_input_level() == 12.0
     assert m.has_output_level() and m.get_output_level() == 6.0
+
+
+def test_render_cli_streaming_odd_length_and_block_validation(tmp_path):
+    """Odd input length streams correctly (tail zero-padded to the block, no
+    odd-shape retrace) and matches --full; --block < 1 fails cleanly."""
+    from neuralampmodelercore_tpu.cli.render import main as render_main
+    from neuralampmodelercore_tpu.utils.audio import read_wav, write_wav_float32
+
+    wav_in = str(tmp_path / "in.wav")
+    x = (np.random.default_rng(4).standard_normal(777) * 0.2).astype(np.float32)
+    write_wav_float32(wav_in, x, 48000)
+
+    out_s = str(tmp_path / "s.wav")
+    rc = render_main([os.path.join(EXAMPLE_MODELS, "wavenet.nam"), wav_in, out_s, "--block", "64"])
+    assert rc == 0
+    out_f = str(tmp_path / "f.wav")
+    rc = render_main([os.path.join(EXAMPLE_MODELS, "wavenet.nam"), wav_in, out_f, "--full"])
+    assert rc == 0
+    ys, _ = read_wav(out_s)
+    yf, _ = read_wav(out_f)
+    assert ys.shape == (777,)
+    np.testing.assert_allclose(ys, yf, atol=1e-5)
+
+    rc = render_main([os.path.join(EXAMPLE_MODELS, "wavenet.nam"), wav_in, out_s, "--block", "0"])
+    assert rc == 1
+
+
+def test_read_wav_float64(tmp_path):
+    """IEEE-float WAVs carry their bit depth: a float64 file must decode to
+    the same samples, not be misparsed as pairs of float32s."""
+    import struct
+
+    from neuralampmodelercore_tpu.utils.audio import read_wav
+
+    x = (np.random.default_rng(1).standard_normal(256) * 0.3).astype(np.float64)
+    raw = x.astype("<f8").tobytes()
+    p = str(tmp_path / "f64.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(raw)))
+        f.write(b"WAVEfmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 3, 1, 48000, 48000 * 8, 8, 64))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(raw)))
+        f.write(raw)
+    y, sr = read_wav(p)
+    assert y.shape == (256,) and sr == 48000
+    np.testing.assert_allclose(y, x.astype(np.float32), atol=0)
+
+
+def test_registry_custom_loader_get_has_consistency():
+    from neuralampmodelercore_tpu import registry
+
+    registry.register_custom_loader("ExtArch", lambda d: None)
+    try:
+        assert registry.has_architecture("ExtArch")
+        import pytest
+
+        with pytest.raises(ValueError, match="custom loader"):
+            registry.get_architecture("ExtArch")
+    finally:
+        registry._CUSTOM_LOADERS.pop("ExtArch", None)
+
+
+def test_missing_nam_keys_raise_value_error():
+    import pytest
+
+    from neuralampmodelercore_tpu.formats import parse_nam_json
+
+    with pytest.raises(ValueError, match="missing version"):
+        parse_nam_json({"architecture": "Linear", "config": {}, "weights": []})
+    with pytest.raises(ValueError, match="missing architecture"):
+        parse_nam_json({"version": "0.5.4", "config": {}, "weights": []})
