@@ -139,23 +139,24 @@ def _snr_check(model, candidate: str) -> float:
 # precision (models/engine.py auto rule — the hybrid pallas path measured
 # slower for condition models).
 SECONDARY = [
-    ("lstm", "/root/reference/example_models/lstm.nam", None, 8192),
-    ("wavenet_a2_max", "/root/reference/example_models/wavenet_a2_max.nam", None, 512),
-    ("wavenet_condition_dsp", "/root/reference/example_models/wavenet_condition_dsp.nam", None, 512),
+    ("lstm", "/root/reference/example_models/lstm.nam", None, 16384),
+    ("wavenet_a2_max", "/root/reference/example_models/wavenet_a2_max.nam", None, 2048),
+    ("wavenet_condition_dsp", "/root/reference/example_models/wavenet_condition_dsp.nam", None, 2048),
     ("A2_nano", "/root/reference/example_models/A2.nam", 0.3, 2048),
-    ("A2_standard", "/root/reference/example_models/A2.nam", 1.0, 1024),
-    ("slimmable_wavenet_w1.0", "/root/reference/example_models/slimmable_wavenet.nam", 1.0, 1024),
+    ("A2_standard", "/root/reference/example_models/A2.nam", 1.0, 2048),
+    ("slimmable_wavenet_w1.0", "/root/reference/example_models/slimmable_wavenet.nam", 1.0, 4096),
 ]
 
-# Each probe = one fresh engine compile (~80 s over the TPU tunnel); the
-# secondary sweep is bounded to 3 probes per config so the whole bench fits
-# the watchdog budget. start_B values sit one doubling under the measured
-# real-time edge, so 2-3 probes bracket it.
-SECONDARY_MAX_PROBES = 3
+# Each probe = one fresh engine compile (~60-80 s over the TPU tunnel); the
+# secondary sweep is bounded per config so the whole bench fits the watchdog
+# budget. start_B values sit at the measured v5e real-time edge; the ladder
+# jumps by the measured headroom (deadline/p50, capped 2-4x) and walks DOWN
+# when the start overshoots a slower chip.
+SECONDARY_MAX_PROBES = 4
 
 
 def _bench_secondary(nam, gc):
-    """Doubling-only real-time ladder for every secondary config."""
+    """Adaptive real-time ladder for every secondary config."""
     results = {}
     for name, path, slim, start_B in SECONDARY:
         model = nam.load_model(path)
@@ -177,7 +178,15 @@ def _bench_secondary(nam, gc):
             print(f"# {name} B={B}: p50={stats['p50']*1e6:.0f}us rt={rt}", file=sys.stderr)
             if rt:
                 best_B, best_stats = B, stats
-                B *= 2
+                # Jump by the measured headroom: tiny models sit far under
+                # the deadline and a pure doubling ladder can't reach their
+                # edge within the probe budget. Powers of 2 only — off-grid
+                # batches drop the fused kernel to narrower tiles and
+                # measure artificially slow.
+                headroom = deadline / max(stats["p50"], 1e-9)
+                B *= 4 if headroom >= 5.0 else 2
+            elif best_B == 0 and B > 128:
+                B //= 2  # start_B overshot this chip: walk down to the edge
             else:
                 break
         if best_B:
