@@ -58,7 +58,11 @@ def main(argv=None) -> int:
         if not isinstance(model, SlimmableModelMixin):
             print("render: model is not slimmable; --slim ignored", file=sys.stderr)
         else:
-            model.set_slimmable_size(args.slim)
+            try:
+                model.set_slimmable_size(args.slim)
+            except ValueError as e:
+                print(f"render: {e}", file=sys.stderr)
+                return 1
 
     if args.full:
         y = np.asarray(model.render(x))

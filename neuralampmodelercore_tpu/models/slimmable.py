@@ -57,11 +57,13 @@ def config_is_slimmable_wavenet(config: dict) -> bool:
 
 def _ratio_to_channels(ratio: float, allowed: List[int]) -> int:
     """idx = min(floor(ratio * len), len - 1) (reference: slimmable.cpp:100-106).
-    The contract is ratio in [0, 1] (NAM/slimmable.h:19); the reference indexes
-    out of bounds for a negative ratio (UB), and Python would silently WRAP to
-    the largest width — fail loudly instead."""
-    if not 0.0 <= ratio <= 1.0:
-        raise ValueError(f"slimmable size must be in [0, 1], got {ratio}")
+    The contract is ratio in [0, 1] (NAM/slimmable.h:19). Ratios > 1 clamp to
+    the largest width — exactly what the reference's min() does, and what a
+    host knob rounding to 1.0+epsilon expects. Negative ratios are UB in the
+    reference (out-of-bounds index); Python would silently WRAP to the largest
+    width — fail loudly instead."""
+    if ratio < 0.0:
+        raise ValueError(f"slimmable size must be >= 0, got {ratio}")
     idx = min(int(math.floor(ratio * len(allowed))), len(allowed) - 1)
     return allowed[idx]
 

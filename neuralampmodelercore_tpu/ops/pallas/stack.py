@@ -59,6 +59,7 @@ those fall back to the XLA engine step (models.engine picks automatically).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -931,8 +932,21 @@ def step(cfg, T: int, eparams, state, x):
             cond.reshape(plan.S, T, nt * H, W).transpose(0, 2, 1, 3).reshape(plan.S, nt * TW)
         )
 
+    # Block counter: slot math below is invariant mod the LCM of the ring
+    # sizes, so normalize first — an unbounded int32 counter would overflow
+    # negative after 2^31 blocks (~33 days of continuous streaming at T=64)
+    # and silently corrupt every slot index, and even `n + 2M` overflows for
+    # a legacy checkpoint carrying n near 2^31. The generic tier wraps
+    # per-ring the same way (ops/ring.py ring_conv_step); the reference's
+    # rings cannot overflow by construction (NAM/ring_buffer.cpp:69-95).
+    wrap = 1
+    for ap in plan.arrays:
+        for lp in ap.layers:
+            if lp.M:
+                wrap = wrap * lp.M // math.gcd(wrap, lp.M)
+    n = jax.lax.rem(state["n"], wrap)
+
     # slots vector: per ring layer, read slots then write slot
-    n = state["n"]
     vals = []
     for ap in plan.arrays:
         for lp in ap.layers:
@@ -995,7 +1009,9 @@ def step(cfg, T: int, eparams, state, x):
     new_tails = list(out[1 + NRt :])
 
     y = y2.reshape(plan.Cout, nt * H, T, W).transpose(0, 2, 1, 3).reshape(plan.Cout, T, B)
-    new_state.update({"rings": new_rings, "tails": new_tails, "n": n + 1})
+    new_state.update(
+        {"rings": new_rings, "tails": new_tails, "n": jax.lax.rem(n + 1, wrap)}
+    )
     return y, new_state
 
 

@@ -245,6 +245,7 @@ def time_sharded_render(model: Model, mesh: Mesh, x, axis: str = TIME_AXIS):
     cache = model.__dict__.setdefault("_sp_render_cache", {})
     key = (
         tuple(d.id for d in mesh.devices.flat),
+        mesh.devices.shape,  # same devices+names but different geometry must not collide
         mesh.axis_names,
         axis,
         context,

@@ -59,7 +59,11 @@ def _try_load() -> Optional[ctypes.CDLL]:
                     timeout=120,
                 )
             except Exception:
-                return None
+                # Rebuild failed (e.g. no compiler). The on-disk library may
+                # still be ABI-correct even though the marker scan flagged it
+                # (built from pre-marker source): fall through to the CDLL
+                # load and let nam_native_abi_version() below decide.
+                pass
         if not os.path.exists(_LIB_PATH):
             return None
         try:

@@ -323,6 +323,43 @@ def test_engine_state_checkpoint_roundtrip():
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
 
 
+def test_ring_counter_wrap_soak():
+    """Long-uptime safety: the block counter wraps at the LCM of the ring
+    sizes, so a stream running past 2^31 blocks (~33 days at T=64) — or a
+    legacy checkpoint carrying an arbitrarily large n — cannot corrupt slot
+    math. A state whose counter sits just below int32 max (and ≡ 0 mod the
+    wrap) must produce bit-identical output to a fresh stream, across the
+    wrap point."""
+    import math
+
+    import jax.numpy as jnp
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    m.prewarm_on_reset = False
+    T = 8  # rf=16 > T engages the ring path (M=4) for the second array
+    eng = StreamEngine(m, batch=B, block_size=T, kernel="pallas")
+    plan, _ = stack._build_plan_cached(m.config, T, B)
+    wrap = 1
+    for ap in plan.arrays:
+        for lp in ap.layers:
+            if lp.M:
+                wrap = wrap * lp.M // math.gcd(wrap, lp.M)
+    assert wrap > 1  # the model must actually have ring layers at this T
+
+    s_ref = eng.reset(prewarm=False)
+    s_big = eng.reset(prewarm=False)
+    big = (2**31 - 1) // wrap * wrap  # ≡ 0 (mod wrap), within int32
+    s_big = dict(s_big, n=jnp.asarray(big, jnp.int32))
+
+    rng = np.random.default_rng(11)
+    for i in range(2 * wrap + 3):  # crosses the wrap point at least twice
+        blk = (rng.standard_normal((B, T)) * 0.3).astype(np.float32)
+        y1, s_ref = eng.process(blk, s_ref)
+        y2, s_big = eng.process(blk, s_big)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2), err_msg=f"block {i}")
+        assert 0 <= int(s_big["n"]) < wrap  # bounded after the first step
+
+
 def test_tile_width_budget_model():
     """Pin the VMEM tile-width picker to the on-device sweep results
     (tools/sweep_vmem_tiles.py, v5e): configs the budget admits all compile,
