@@ -131,9 +131,15 @@ def dp_sharded_engine_step(engine, mesh: Mesh, axis: str = STREAM_AXIS):
     everything else (weights). Returns (sharded_params, sharded_state,
     jitted step(eparams, state, x_ctb) -> (y_ctb, state')).
 
+    Pallas-tier engines route to the shard_map composition (a pallas_call
+    does not auto-partition under jit shardings the way plain XLA ops do):
+    see dp_sharded_pallas_engine_step. Same return contract either way.
+
     Pick a batch that differs from T and the channel counts so the rule is
     unambiguous (batch is typically >= 128 anyway for lane alignment).
     """
+    if getattr(engine, "kernel", "xla") == "pallas":
+        return dp_sharded_pallas_engine_step(engine, mesh, axis)
     B = engine.batch
 
     def leaf_sharding(leaf):
@@ -160,6 +166,100 @@ def dp_sharded_engine_step(engine, mesh: Mesh, axis: str = STREAM_AXIS):
         donate_argnums=(1,),
     )
     return eparams, state, step
+
+
+def dp_sharded_pallas_engine_step(engine, mesh: Mesh, axis: str = STREAM_AXIS):
+    """Stream-axis sharding for the FUSED PALLAS tier via shard_map.
+
+    The fused kernel's grid already tiles the stream batch (ops/pallas/stack
+    `_Plan.nt` grid steps of `H*128` streams each), so sharding is "each
+    device runs its own pallas_call over its local tiles": wrap the step in
+    ``shard_map`` over the stream axis, with ring state sharded on its
+    grid-tile axis (rings are (M, nt, C, T*W) — axis 1; tails are
+    (nt, C, rf*W) — axis 0) and audio on the trailing stream axis of the CTB
+    block. Weights (and the nested-condition pre-pass params) replicate.
+    Zero collectives in steady state — streams are independent, so this
+    scales "4096/chip × N chips" by construction.
+
+    CRITICAL layout detail: the plan (tile width, ring shapes) must be built
+    for the PER-DEVICE batch, not the global batch — `_pick_w` can choose a
+    wider tile for the global batch than divides the local one, which would
+    make the sharded state chunks unreadable by the local kernel. So this
+    function builds its own state with the local-batch plan; do not pass
+    ``engine.init_state()`` arrays in.
+
+    Returns (eparams, state, step) with the same contract as
+    dp_sharded_engine_step: step(eparams, state, x_ctb[C,T,B_global]) ->
+    (y_ctb, state'); state leaves are global jax.Arrays sharded over `axis`.
+    """
+    from ..ops.pallas import stack as _stack
+
+    if getattr(engine, "kernel", None) != "pallas":
+        raise ValueError("engine is not on the pallas tier")
+    cfg = engine.model.config
+    T = engine.block_size
+    n = mesh.shape[axis]
+    B = engine.batch
+    if B % n != 0:
+        raise ValueError(f"batch {B} not divisible by {n} devices on axis {axis!r}")
+    Bl = B // n
+    reason = _stack.supports(cfg, T, Bl)
+    if reason is not None:
+        raise ValueError(
+            f"pallas stack kernel does not support the per-device batch {Bl}: {reason}"
+        )
+
+    # Local plan defines the state layout; the global state is n local states
+    # stacked along the grid-tile axis. Initial leaves are uniform across
+    # streams (zero rings/tails; condition sub-state broadcasts per stream),
+    # so tiling the local state n times along its shard axis is exact.
+    eparams_l, state_l = _stack.prepare(cfg, engine.model.params, T, Bl)
+
+    def cond_spec(leaf):
+        nd = np.ndim(leaf)
+        if nd >= 1 and np.shape(leaf)[-1] == Bl:
+            return P(*([None] * (nd - 1)), axis)
+        return P()
+
+    specs = {
+        "rings": [P(None, axis, None, None) for _ in state_l["rings"]],
+        "tails": [P(axis, None, None) for _ in state_l["tails"]],
+        "n": P(),
+    }
+    if "condition" in state_l:
+        specs["condition"] = jax.tree_util.tree_map(cond_spec, state_l["condition"])
+
+    def tile_global(leaf, spec):
+        sharded_axes = [i for i, s in enumerate(spec) if s is not None]
+        if not sharded_axes:
+            arr = jnp.asarray(leaf)
+        else:
+            reps = [1] * np.ndim(leaf)
+            reps[sharded_axes[0]] = n
+            arr = jnp.tile(jnp.asarray(leaf), reps)
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    state = jax.tree_util.tree_map(tile_global, state_l, specs)
+    rep = NamedSharding(mesh, P())
+    eparams = jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), eparams_l)
+
+    def local_step(ep, st, x_local):
+        return _stack.step(cfg, T, ep, st, x_local)
+
+    xspec = P(None, None, axis)
+    fn = jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: P(), eparams_l), specs, xspec),
+            out_specs=(xspec, specs),
+            # pallas_call outputs carry no varying-manual-axes metadata, so
+            # the vma check cannot see that they vary over the stream axis.
+            check_vma=False,
+        ),
+        donate_argnums=(1,),
+    )
+    return eparams, state, fn
 
 
 # =============================================================================
