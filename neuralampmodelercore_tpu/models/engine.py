@@ -52,17 +52,22 @@ class StreamEngine:
             from ..ops.pallas import stack as _stack
 
             reason = _stack.supports(model.config, self.block_size, self.batch)
-            # auto picks the measured-fastest tier: condition-DSP models run
-            # their pre-pass on the XLA engine anyway, and the hybrid
-            # XLA-prepass + pallas-main program measured ~4x SLOWER than the
-            # pure XLA step on the example corpus (tools/diag: 736 vs 196
-            # us/block at B=512) — the pallas_call serializes against the
-            # pre-pass and the main nets of such models are tiny. Explicit
-            # kernel="pallas" still takes the fused path.
-            has_cond = getattr(model.config, "condition_config", None) is not None
+            # auto picks the measured-fastest tier. WaveNet condition chains
+            # FUSE into the kernel (stack._fused_chain) — no pre-pass, so
+            # auto takes pallas for them. Only non-fusable condition DSPs
+            # (e.g. LSTM) still need the hybrid XLA-prepass + pallas-main
+            # program, which measured ~4x SLOWER than the pure XLA step on
+            # the example corpus (tools/diag: 736 vs 196 us/block at B=512) —
+            # the pallas_call serializes against the pre-pass and the main
+            # nets of such models are tiny. Explicit kernel="pallas" still
+            # takes the fused path.
+            needs_prepass = (
+                reason is None
+                and _stack.cond_mode(model.config, self.block_size) == "prepass"
+            )
             if reason is None and (
                 kernel == "pallas"
-                or (_jax.default_backend() == "tpu" and not has_cond)
+                or (_jax.default_backend() == "tpu" and not needs_prepass)
             ):
                 use_pallas = True
             elif kernel == "pallas":

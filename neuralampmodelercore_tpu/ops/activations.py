@@ -228,25 +228,30 @@ def apply(config: ActivationConfig, x: jnp.ndarray, channel_axis: int = -1) -> j
         return jnp.where(x > 0, x, ns * x)
     if t == "PReLU":
         if config.negative_slopes is not None:
-            slopes = jnp.asarray(config.negative_slopes, dtype=x.dtype)
+            slopes = tuple(float(s) for s in config.negative_slopes)
         elif config.negative_slope is not None:
-            slopes = jnp.asarray([config.negative_slope], dtype=x.dtype)
+            slopes = (float(config.negative_slope),)
         else:
-            slopes = jnp.asarray([0.01], dtype=x.dtype)
+            slopes = (0.01,)
         # Broadcast over the channel axis; reference indexes pos % n_slopes
-        # with channels fastest (NAM/activations.h:293-297).
+        # with channels fastest (NAM/activations.h:293-297). Built from
+        # scalar literals + iota (NOT a closed-over device array): this code
+        # also runs inside the fused Pallas kernel, whose kernel function
+        # may not capture array constants.
         ax = channel_axis % x.ndim
         c = x.shape[ax]
-        n = slopes.shape[0]
+        n = len(slopes)
         if c % n != 0:
             raise ValueError(
                 f"PReLU got {c} channels but activation has {n} slopes, which doesn't divide evenly."
             )
-        full = jnp.tile(slopes, c // n)
-        shape = [1] * x.ndim
-        shape[ax] = c
-        full = full.reshape(shape)
-        return jnp.where(x > 0, x, full * x)
+        if n == 1:
+            return jnp.where(x > 0, x, slopes[0] * x)
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, ax) % n
+        neg = slopes[0] * x
+        for k in range(1, n):
+            neg = jnp.where(idx == k, slopes[k] * x, neg)
+        return jnp.where(x > 0, x, neg)
     if t == "Sigmoid":
         if using_fast_tanh:
             # The reference's LSTM uses fast_sigmoid when fast-tanh mode is on

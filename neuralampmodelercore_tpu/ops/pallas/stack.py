@@ -49,8 +49,14 @@ densified at prepare time — zeros contribute nothing, and at these channel
 counts the MXU runs the dense dot at the same cost), head rechannel with
 kernel_size > 1 / dilation > 1 (receptive field <= T, carried as tail
 state — covers the A2 family's k=16 head, NAM/wavenet/a2_fast.h:30-43),
-the post-stack head, and nested condition DSPs (computed as an XLA
-engine-tier pre-pass whose output enters the kernel as a second input).
+the post-stack head, and nested condition DSPs: WaveNet condition chains
+FUSE into the kernel itself as prelude nets (deepest first, each feeding
+the next net's condition — `_fused_chain`; round 2 measured the hybrid
+XLA-prepass + pallas program ~4x slower than pure XLA because the
+pallas_call serialized against the pre-pass, so fusion is what makes the
+condition-DSP corpus models pallas-viable), while non-WaveNet condition
+DSPs (e.g. LSTM) run as an XLA engine-tier pre-pass whose output enters
+the kernel as a second input.
 Remaining gate: LUT-mode activations, batch % 128 != 0, head/post-head
 receptive field > T, and configs whose VMEM footprint exceeds the budget —
 those fall back to the XLA engine step (models.engine picks automatically).
@@ -117,8 +123,16 @@ def _footprint_rows(cfg, T: int) -> int:
     conv_pre_film needs a filmed-input buffer). Tail layers (rf <= T) use
     one chunk buffer. Head-rechannel / post-stack-head tail convs add their
     store+fetch buffers and stacked operand on top (they coexist with the
-    layer scratch). The per-layer part is pinned to the on-device sweep
+    layer scratch). Fused condition-DSP nets add their own whole footprint
+    (their scratch buffers are statically allocated alongside the main
+    net's). The per-layer part is pinned to the on-device sweep
     (tools/sweep_vmem_tiles.py) by tests/test_pallas_stack.py."""
+    chain = _fused_chain(cfg, T)
+    extra_nets = sum(_footprint_rows_single(c, T) for c in chain) if chain else 0
+    return _footprint_rows_single(cfg, T) + extra_nets
+
+
+def _footprint_rows_single(cfg, T: int) -> int:
     rows = 0
     for ac in cfg.layer_arrays:
         # Count PHYSICAL rows: every VMEM buffer pads its sublane
@@ -253,6 +267,20 @@ class _ArrayPlan:
 
 
 @dataclasses.dataclass(frozen=True)
+class _NetPlan:
+    """One full WaveNet in the fused chain. nets[:-1] are nested condition
+    DSPs (deepest first), each consuming the raw input as both its input and
+    its condition and feeding its output as the NEXT net's condition; the
+    last net is the main model (reference: WaveNet::_process_condition runs
+    the nested DSP on the input, NAM/wavenet/model.cpp:699-729)."""
+
+    arrays: Tuple[_ArrayPlan, ...]
+    head_scale_w: int
+    head_act: Any  # post-stack head activation (None if no post head)
+    pheads: Tuple[_TailConv, ...]
+
+
+@dataclasses.dataclass(frozen=True)
 class _Plan:
     T: int
     W: int  # streams per half-tile (always 128)
@@ -261,28 +289,23 @@ class _Plan:
     Cin: int
     Cout: int
     S: int  # condition channels entering the kernel
-    has_cond: bool  # separate condition input (nested condition DSP)
+    has_cond: bool  # separate condition input (XLA pre-pass condition DSP)
     n_weights: int
     n_rings: int
     n_tails: int
     n_slots: int
-    head_scale_w: int
-    head_act: Any  # post-stack head activation (None if no post head)
-    pheads: Tuple[_TailConv, ...]
-    arrays: Tuple[_ArrayPlan, ...]
+    nets: Tuple[_NetPlan, ...]  # condition chain (deepest first) + main
     ring_shapes: Tuple[Tuple[int, int, int, int], ...]
     tail_shapes: Tuple[Tuple[int, int, int], ...]  # (nt, C, H*rf*W)
     scratch_shapes: Tuple[Any, ...]
 
+    @property
+    def all_arrays(self) -> Tuple[_ArrayPlan, ...]:
+        return tuple(ap for net in self.nets for ap in net.arrays)
 
-def supports(cfg, T: int, batch: int) -> Optional[str]:
-    """None if the fused kernel handles this config, else the reason why not."""
-    from ...models.wavenet import WaveNetConfig
 
-    if not isinstance(cfg, WaveNetConfig):
-        return f"not a WaveNetConfig: {type(cfg).__name__}"
-    if batch % W_TILE != 0 or batch < W_TILE:
-        return f"batch {batch} not a multiple of {W_TILE}"
+def _single_cfg_gate(cfg, T: int) -> Optional[str]:
+    """Per-WaveNetConfig kernel gates (ignoring condition DSP and batch)."""
     for ai, ac in enumerate(cfg.layer_arrays):
         hr_rf = (ac.head_kernel_size - 1) * ac.head_dilation
         if hr_rf > T:
@@ -296,7 +319,48 @@ def supports(cfg, T: int, batch: int) -> Optional[str]:
         for k in cfg.head.kernel_sizes:
             if k - 1 > T:
                 return f"post-stack head conv receptive field {k - 1} > T={T}"
-    if cfg.condition_config is not None:
+    return None
+
+
+def _fused_chain(cfg, T: int) -> Optional[Tuple[Any, ...]]:
+    """The nested-condition-DSP chain (deepest first) when EVERY nested
+    condition DSP is itself a WaveNetConfig the kernel handles — those fuse
+    into the same kernel as prelude nets, eliminating the XLA pre-pass
+    entirely (round-2 measurement: the hybrid XLA-prepass + pallas program
+    ran ~4x slower than pure XLA because the pallas_call serialized against
+    the pre-pass). None => no condition, or fall back to the pre-pass."""
+    from ...models.wavenet import WaveNetConfig
+
+    chain = []
+    c = cfg.condition_config
+    while c is not None:
+        if not isinstance(c, WaveNetConfig) or _single_cfg_gate(c, T) is not None:
+            return None
+        chain.append(c)
+        c = c.condition_config
+    return tuple(reversed(chain)) if chain else None
+
+
+def cond_mode(cfg, T: int) -> str:
+    """'none' | 'fused' (condition chain runs inside the kernel) |
+    'prepass' (XLA engine tier pre-pass feeding a second kernel input)."""
+    if getattr(cfg, "condition_config", None) is None:
+        return "none"
+    return "fused" if _fused_chain(cfg, T) is not None else "prepass"
+
+
+def supports(cfg, T: int, batch: int) -> Optional[str]:
+    """None if the fused kernel handles this config, else the reason why not."""
+    from ...models.wavenet import WaveNetConfig
+
+    if not isinstance(cfg, WaveNetConfig):
+        return f"not a WaveNetConfig: {type(cfg).__name__}"
+    if batch % W_TILE != 0 or batch < W_TILE:
+        return f"batch {batch} not a multiple of {W_TILE}"
+    reason = _single_cfg_gate(cfg, T)
+    if reason is not None:
+        return reason
+    if cfg.condition_config is not None and _fused_chain(cfg, T) is None:
         # Pre-pass runs the nested DSP on the XLA engine tier; anything the
         # registry can build qualifies.
         from ... import registry
@@ -346,11 +410,26 @@ def _build_plan(cfg, params, T: int, batch: int):
     nt = batch // width
     TW = T * width  # columns per grid tile (H half-tiles of T*W)
 
+    # Fused condition chain: each nested WaveNet condition DSP becomes a
+    # prelude net inside the same kernel (deepest first), its output feeding
+    # the next net's condition — no XLA pre-pass, no kernel input for cond.
+    chain = _fused_chain(cfg, T)
+    net_specs: List[Tuple[Any, Any]] = []
+    if chain:
+        ps: List[Any] = []
+        c, p = cfg, params
+        while c.condition_config is not None:
+            p = p["condition"]
+            c = c.condition_config
+            ps.append(p)  # shallowest condition first
+        net_specs = list(zip(chain, reversed(ps)))  # deepest first
+    net_specs.append((cfg, params))
+
     weights: List[jnp.ndarray] = []
     scratch: List[Any] = []
     ring_shapes: List[Tuple[int, int, int, int]] = []
     tail_shapes: List[Tuple[int, int, int]] = []
-    arrays: List[_ArrayPlan] = []
+    nets: List[_NetPlan] = []
     n_slots = 0
 
     def add_w(a: np.ndarray) -> int:
@@ -374,8 +453,10 @@ def _build_plan(cfg, params, T: int, batch: int):
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
         return _TailConv(K, d, cin, cout, rf, w, b, tail, store, chunk, sem)
 
-    for ai, ac in enumerate(cfg.layer_arrays):
-        ap = params["arrays"][ai]
+    for net_cfg, net_params in net_specs:
+      arrays: List[_ArrayPlan] = []
+      for ai, ac in enumerate(net_cfg.layer_arrays):
+        ap = net_params["arrays"][ai]
         C, I, S, L = ac.channels, ac.input_size, ac.condition_size, ac.num_layers
         rech_w = add_w(_dense_1x1_w(ap["rechannel"], I, C).T)  # (C, I)
 
@@ -485,30 +566,38 @@ def _build_plan(cfg, params, T: int, batch: int):
             )
         )
 
-    head_scale_w = add_w(np.asarray(params["head_scale"], dtype=np.float32).reshape(1, 1))
-    pheads: List[_TailConv] = []
-    head_act = None
-    if cfg.head is not None:
-        from ...models.wavenet import _head_conv_specs
+      head_scale_w = add_w(
+          np.asarray(net_params["head_scale"], dtype=np.float32).reshape(1, 1)
+      )
+      pheads: List[_TailConv] = []
+      head_act = None
+      if net_cfg.head is not None:
+          from ...models.wavenet import _head_conv_specs
 
-        head_act = cfg.head.activation
-        for si, spec in enumerate(_head_conv_specs(cfg.head)):
-            pheads.append(
-                add_tail_conv(
-                    params["head"][si], spec.kernel_size, spec.dilation,
-                    spec.in_channels, spec.out_channels, spec.bias,
-                )
-            )
+          head_act = net_cfg.head.activation
+          for si, spec in enumerate(_head_conv_specs(net_cfg.head)):
+              pheads.append(
+                  add_tail_conv(
+                      net_params["head"][si], spec.kernel_size, spec.dilation,
+                      spec.in_channels, spec.out_channels, spec.bias,
+                  )
+              )
+      nets.append(
+          _NetPlan(
+              arrays=tuple(arrays), head_scale_w=head_scale_w,
+              head_act=head_act, pheads=tuple(pheads),
+          )
+      )
 
+    has_cond = cfg.condition_config is not None and chain is None
     plan = _Plan(
         T=T, W=W, H=H, nt=nt, Cin=cfg.in_channels, Cout=cfg.out_channels_,
-        S=(cfg.layer_arrays[0].condition_size if cfg.condition_config is not None else cfg.in_channels),
-        has_cond=cfg.condition_config is not None,
+        S=(cfg.layer_arrays[0].condition_size if has_cond else cfg.in_channels),
+        has_cond=has_cond,
         n_weights=len(weights), n_rings=len(ring_shapes),
         n_tails=len(tail_shapes),
         n_slots=max(n_slots, 1),
-        head_scale_w=head_scale_w, head_act=head_act, pheads=tuple(pheads),
-        arrays=tuple(arrays), ring_shapes=tuple(ring_shapes),
+        nets=tuple(nets), ring_shapes=tuple(ring_shapes),
         tail_shapes=tuple(tail_shapes),
         scratch_shapes=tuple(scratch),
     )
@@ -563,9 +652,11 @@ def _make_kernel(plan: _Plan):
         i = pl.program_id(0)
 
         x_full = x_ref[:]  # (Cin, H*TWh)
-        cond_full = cond_ref[:] if plan.has_cond else x_full
-        cond = [hslice(cond_full, h) for h in range(H)]
-        prev_out = [hslice(x_full, h) for h in range(H)]
+        x_halves = [hslice(x_full, h) for h in range(H)]
+        # Condition: external pre-pass input (has_cond), else the raw input;
+        # fused condition nets rebind `cond` to their output below.
+        cond = [hslice(cond_ref[:], h) for h in range(H)] if plan.has_cond else x_halves
+        prev_out = list(x_halves)
         head_acc = [None] * H
         pending_tail = []  # (dma, sem) pairs to wait before kernel end
 
@@ -631,7 +722,14 @@ def _make_kernel(plan: _Plan):
                 outs.append(y)
             return outs
 
-        for ap in plan.arrays:
+        for ni, net in enumerate(plan.nets):
+          # Each net (fused condition DSPs first, then the main model)
+          # consumes the raw input; non-final nets' outputs become the next
+          # net's condition (WaveNet::_process_condition,
+          # NAM/wavenet/model.cpp:699-729).
+          prev_out = list(x_halves)
+          head_acc = [None] * H
+          for ap in net.arrays:
             cur = scr[ap.cur_scr]  # (2, C, H*TWh) layer-input scratch
             fil = scr[ap.film_scr] if ap.film_scr >= 0 else None
             chunks = scr[ap.chunk_scr] if ap.chunk_scr >= 0 else None
@@ -861,15 +959,18 @@ def _make_kernel(plan: _Plan):
             # the A2 family's k=16 head, NAM/wavenet/a2_fast.h:30-43)
             head_acc = tail_conv_apply(ap.hr, head_acc, hr_read)
 
-        hs = wr[plan.head_scale_w][0, 0]
-        work = [hs * head_acc[h] for h in range(H)]
+          hs = wr[net.head_scale_w][0, 0]
+          work = [hs * head_acc[h] for h in range(H)]
 
-        # post-stack head: scale, then repeated (activation -> Conv1D)
-        # (reference: model.cpp:776-805, Head::process model.cpp:69-86)
-        for tc in plan.pheads:
-            rd = tail_conv_start_read(tc)
-            work = [act.apply(plan.head_act, v, channel_axis=0) for v in work]
-            work = tail_conv_apply(tc, work, rd)
+          # post-stack head: scale, then repeated (activation -> Conv1D)
+          # (reference: model.cpp:776-805, Head::process model.cpp:69-86)
+          for tc in net.pheads:
+              rd = tail_conv_start_read(tc)
+              work = [act.apply(net.head_act, v, channel_axis=0) for v in work]
+              work = tail_conv_apply(tc, work, rd)
+
+          if ni + 1 < len(plan.nets):
+              cond = work  # this net was a condition DSP: feed the next net
 
         for h in range(H):
             y_ref[:, h * TWh : (h + 1) * TWh] = work[h]
@@ -897,9 +998,11 @@ def prepare(cfg, params, T: int, batch: int):
         "n": jnp.zeros((), jnp.int32),
     }
     eparams = {"weights": weights}
-    if cfg.condition_config is not None:
-        # Nested condition DSP pre-pass runs on the XLA engine tier
-        # (reference: WaveNet::_process_condition, model.cpp:699-729).
+    if plan.has_cond:
+        # Non-fusable nested condition DSP (e.g. LSTM): pre-pass runs on the
+        # XLA engine tier (reference: WaveNet::_process_condition,
+        # model.cpp:699-729). WaveNet condition chains fuse into the kernel
+        # itself (_fused_chain) and need no pre-pass state.
         from ... import registry
 
         sub_arch = registry.arch_for_config(cfg.condition_config)
@@ -940,7 +1043,7 @@ def step(cfg, T: int, eparams, state, x):
     # per-ring the same way (ops/ring.py ring_conv_step); the reference's
     # rings cannot overflow by construction (NAM/ring_buffer.cpp:69-95).
     wrap = 1
-    for ap in plan.arrays:
+    for ap in plan.all_arrays:
         for lp in ap.layers:
             if lp.M:
                 wrap = wrap * lp.M // math.gcd(wrap, lp.M)
@@ -948,7 +1051,7 @@ def step(cfg, T: int, eparams, state, x):
 
     # slots vector: per ring layer, read slots then write slot
     vals = []
-    for ap in plan.arrays:
+    for ap in plan.all_arrays:
         for lp in ap.layers:
             if lp.M:
                 for j in lp.js:
@@ -1092,4 +1195,8 @@ def _params_shape_only(cfg):
             }
             for s in _head_conv_specs(cfg.head)
         ]
+    if cfg.condition_config is not None and isinstance(cfg.condition_config, type(cfg)):
+        # WaveNet condition chains fuse into the kernel, so _build_plan walks
+        # their params too (unused when the plan falls back to the pre-pass).
+        params["condition"] = _params_shape_only(cfg.condition_config)
     return params

@@ -204,11 +204,41 @@ def test_a2_standard_submodel():
     _run_equivalence(a2.active_model, T=64, n_blocks=4)
 
 
-def test_condition_dsp_prepass():
-    """Nested condition DSP runs as an XLA engine pre-pass feeding the
-    kernel's separate condition input (model.cpp:699-729)."""
+def test_condition_dsp_fused():
+    """WaveNet condition chains fuse INTO the kernel as prelude nets — no
+    XLA pre-pass (round-2 measured the hybrid 4x slower). Same semantics as
+    WaveNet::_process_condition (model.cpp:699-729)."""
     m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_condition_dsp.nam"))
+    assert stack.cond_mode(m.config, 16) == "fused"
     _run_equivalence(m, T=16, n_blocks=8)
+
+
+def test_condition_dsp_lstm_prepass():
+    """A non-WaveNet (LSTM) condition DSP cannot fuse: the kernel falls back
+    to the XLA engine pre-pass feeding its external condition input."""
+    from neuralampmodelercore_tpu.tools.generate import with_condition_dsp
+
+    sub = make_nam("LSTM", {"input_size": 1, "hidden_size": 3, "num_layers": 1}, seed=3)
+    config = {
+        "layers": [
+            {
+                "input_size": 1,
+                "condition_size": 1,
+                "channels": 6,
+                "head_size": 1,
+                "kernel_size": 3,
+                "dilations": [1, 4, 16],
+                "activation": "Tanh",
+                "gated": False,
+                "head_bias": True,
+            }
+        ],
+        "head": None,
+    }
+    config = with_condition_dsp(config, sub)
+    m = _wavenet_model(config, seed=9)
+    assert stack.cond_mode(m.config, 16) == "prepass"
+    _run_equivalence(m, T=16, n_blocks=6)
 
 
 def test_a2_max_films_groups_gating():
@@ -340,7 +370,7 @@ def test_ring_counter_wrap_soak():
     eng = StreamEngine(m, batch=B, block_size=T, kernel="pallas")
     plan, _ = stack._build_plan_cached(m.config, T, B)
     wrap = 1
-    for ap in plan.arrays:
+    for ap in plan.all_arrays:
         for lp in ap.layers:
             if lp.M:
                 wrap = wrap * lp.M // math.gcd(wrap, lp.M)
