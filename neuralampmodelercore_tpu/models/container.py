@@ -14,6 +14,7 @@ resets before publishing the index.
 
 from __future__ import annotations
 
+import threading
 from typing import Any, List, Optional, Tuple
 
 from ..formats import ModelMetadata
@@ -22,7 +23,29 @@ from .base import DEFAULT_MAX_BUFFER_SIZE, Model
 
 class SlimmableModelMixin:
     """Interface for runtime size switching (reference: nam::SlimmableModel,
-    NAM/slimmable.h:13-29)."""
+    NAM/slimmable.h:13-29), plus the non-blocking switching machinery
+    (reference: the staged atomic-slot swap the audio thread adopts at the
+    top of the next process(), NAM/wavenet/slimmable.cpp:309-348,465-498).
+
+    Two ways to keep ``set_slimmable_size`` off the dispatch loop's critical
+    path:
+
+      - ``precompile_slimmable_sizes(...)`` builds + compiles + prewarms
+        every reachable size up front (they are enumerable from
+        ``get_slimmable_size_breakpoints``), so a later synchronous switch
+        only re-runs the cached executables (alloc + prewarm steps,
+        milliseconds) instead of tracing + compiling (seconds).
+      - ``stage_slimmable_size(val)`` does ALL the work (build, compile,
+        prewarm) on a background thread while the current size keeps
+        serving; ``poll_slimmable_switch()`` — O(microseconds), safe at the
+        top of every block — adopts the finished switch and hands back its
+        fresh state. This is the exact analog of the reference's staged
+        ``shared_ptr`` slot, adapted to the functional explicit-state API.
+
+    Subclasses implement the three hooks ``_resolve_size_key`` /
+    ``_build_state_for_key`` / ``_activate_size_key`` plus the two abstract
+    interface methods.
+    """
 
     def set_slimmable_size(self, val: float) -> Optional[Any]:
         """Set target size in [0, 1]. Returns a fresh (reset) state for the
@@ -31,6 +54,101 @@ class SlimmableModelMixin:
 
     def get_slimmable_size_breakpoints(self) -> List[float]:
         raise NotImplementedError
+
+    # -- per-class hooks ------------------------------------------------------
+
+    def _resolve_size_key(self, val: float):
+        """Hashable identity of the size ``val`` maps to."""
+        raise NotImplementedError
+
+    def _build_state_for_key(self, key) -> Any:
+        """Heavy path: build (if needed) + compile + prewarm the size ``key``
+        with the wrapper's current serving geometry; returns its fresh
+        state. Must not disturb the currently-active size."""
+        raise NotImplementedError
+
+    def _activate_size_key(self, key) -> None:
+        raise NotImplementedError
+
+    def _current_size_key(self):
+        raise NotImplementedError
+
+    # -- non-blocking switching ----------------------------------------------
+
+    @property
+    def _stage_slot(self):
+        d = self.__dict__
+        if "_stage_lock" not in d:
+            d["_stage_lock"] = threading.Lock()
+            d["_staged"] = None  # (key, state) ready for adoption
+            d["_stage_thread"] = None
+        return d
+
+    def _slim_candidate_values(self) -> List[float]:
+        """One value per breakpoint segment (midpoints + endpoints) — hits
+        every reachable size."""
+        edges = [0.0] + sorted(self.get_slimmable_size_breakpoints()) + [1.0]
+        vals = [(edges[i] + edges[i + 1]) / 2.0 for i in range(len(edges) - 1)]
+        return vals + [0.0, 1.0]
+
+    def precompile_slimmable_sizes(self) -> int:
+        """Build + compile + prewarm every reachable size at the current
+        serving geometry (the reference's "pre-compile all widths" story,
+        SURVEY.md §7 step 7). Returns the number of distinct sizes.
+        Call after ``reset(...)`` so the geometry (batch, block size) is the
+        serving one — jit caches per shape."""
+        keys = []
+        for v in self._slim_candidate_values():
+            key = self._resolve_size_key(v)
+            if key not in keys:
+                keys.append(key)
+                self._build_state_for_key(key)
+        return len(keys)
+
+    def stage_slimmable_size(self, val: float) -> bool:
+        """Begin a non-blocking switch to ``val``: the heavy work runs on a
+        background thread; the current size keeps serving meanwhile. Returns
+        False (nothing staged) when ``val`` maps to the active size and no
+        switch is pending. A newer stage supersedes an unadopted older one."""
+        slot = self._stage_slot
+        key = self._resolve_size_key(val)
+        with slot["_stage_lock"]:
+            if key == self._current_size_key() and slot["_staged"] is None:
+                return False
+            slot["_stage_token"] = token = object()
+
+        def work():
+            state = self._build_state_for_key(key)
+            with slot["_stage_lock"]:
+                if slot.get("_stage_token") is token:  # not superseded
+                    slot["_staged"] = (key, state)
+
+        t = threading.Thread(target=work, name="nam-slim-stage", daemon=True)
+        slot["_stage_thread"] = t
+        t.start()
+        return True
+
+    def poll_slimmable_switch(self) -> Optional[Any]:
+        """Adopt a completed staged switch: activates the staged size and
+        returns its fresh state; None while nothing is ready. O(us) — call
+        at the top of every block (the reference's process()-top swap,
+        slimmable.cpp:465-498)."""
+        slot = self._stage_slot
+        with slot["_stage_lock"]:
+            if slot["_staged"] is None:
+                return None
+            key, state = slot["_staged"]
+            slot["_staged"] = None
+        self._activate_size_key(key)
+        return state
+
+    def wait_slimmable_switch(self, timeout: Optional[float] = None) -> Optional[Any]:
+        """Block until the staged switch finishes, then adopt it (test /
+        offline convenience; the dispatch loop should poll instead)."""
+        t = self._stage_slot.get("_stage_thread")
+        if t is not None:
+            t.join(timeout)
+        return self.poll_slimmable_switch()
 
 
 class ContainerModel(SlimmableModelMixin):
@@ -131,14 +249,28 @@ class ContainerModel(SlimmableModelMixin):
             return None
         # Reset (prewarm) the newly selected model before activation
         # (reference: container.cpp:116-121).
-        model = self._submodels[idx][1]
-        state = model.reset(self._batch, self._sample_rate, self._max_buffer_size)
+        state = self._build_state_for_key(idx)
         self._active_index = idx
         return state
 
     def get_slimmable_size_breakpoints(self) -> List[float]:
         """(reference: container.cpp:124-133)"""
         return [mv for mv, _ in self._submodels[:-1]]
+
+    # -- non-blocking switching hooks (see SlimmableModelMixin) --------------
+
+    def _resolve_size_key(self, val: float) -> int:
+        return self._index_for_slimmable_size(val)
+
+    def _build_state_for_key(self, key: int) -> Any:
+        model = self._submodels[key][1]
+        return model.reset(self._batch, self._sample_rate, self._max_buffer_size)
+
+    def _activate_size_key(self, key: int) -> None:
+        self._active_index = key
+
+    def _current_size_key(self) -> int:
+        return self._active_index
 
 
 def load_container(data, load_model_fn) -> ContainerModel:

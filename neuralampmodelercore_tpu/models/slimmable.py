@@ -392,10 +392,24 @@ class SlimmableWavenetModel(SlimmableModelMixin):
         key = self._channels_for_size(val)
         if key == self._current_key:
             return None
-        model = self._model_for_channels(key)
-        state = model.reset(self._batch, self._sample_rate, self._max_buffer_size)
+        state = self._build_state_for_key(key)
         self._current_key = key
         return state
+
+    # -- non-blocking switching hooks (see SlimmableModelMixin) --------------
+
+    def _resolve_size_key(self, val: float) -> Tuple[int, ...]:
+        return self._channels_for_size(val)
+
+    def _build_state_for_key(self, key: Tuple[int, ...]) -> Any:
+        model = self._model_for_channels(key)
+        return model.reset(self._batch, self._sample_rate, self._max_buffer_size)
+
+    def _activate_size_key(self, key: Tuple[int, ...]) -> None:
+        self._current_key = key
+
+    def _current_size_key(self) -> Tuple[int, ...]:
+        return self._current_key
 
     def get_slimmable_size_breakpoints(self) -> List[float]:
         """(reference: get_ratio_breakpoints, slimmable.cpp:108-121)"""

@@ -148,3 +148,74 @@ def test_container_validation():
     j3["config"]["submodels"] = j3["config"]["submodels"][:1]  # max 0.33 < 1.0
     with pytest.raises(ValueError, match="max_value"):
         nam.load_model(j3)
+
+
+# -- Non-blocking switching (reference: staged atomic swap,
+#    NAM/wavenet/slimmable.cpp:309-348,465-498) ------------------------------
+
+
+def test_precompile_all_widths():
+    sm = _load("slimmable_wavenet.nam")
+    sm.prewarm_on_reset = False
+    sm.reset(1, max_buffer_size=64)
+    n = sm.precompile_slimmable_sizes()
+    # allowed [1,2,3] -> three distinct widths, all built
+    assert n == 3
+    assert len(sm._models) == 3
+
+
+def test_staged_switch_matches_synchronous():
+    """stage + poll produces the same model/state semantics as the blocking
+    set_slimmable_size, while the current width keeps serving."""
+    sm = _load("slimmable_wavenet.nam")
+    sm.prewarm_on_reset = False
+    st_cur = sm.reset(1, max_buffer_size=64)
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((1, 64)) * 0.3).astype(np.float32)
+
+    assert sm.stage_slimmable_size(0.5) is True
+    # current (full) width keeps serving while the switch builds
+    y_serve, st_cur = sm.process(x, st_cur)
+    assert np.isfinite(np.asarray(y_serve)).all()
+    st_new = sm.wait_slimmable_switch()
+    assert st_new is not None
+    assert sm._current_size_key() == (2,)
+    y_staged, _ = sm.process(x, st_new)
+
+    ref = _load("slimmable_wavenet.nam")
+    ref.prewarm_on_reset = False
+    ref.reset(1, max_buffer_size=64)
+    st_ref = ref.set_slimmable_size(0.5)
+    y_sync, _ = ref.process(x, st_ref)
+    np.testing.assert_allclose(np.asarray(y_staged), np.asarray(y_sync), atol=1e-7)
+
+
+def test_stage_noop_for_current_size():
+    sm = _load("slimmable_wavenet.nam")
+    sm.prewarm_on_reset = False
+    sm.reset(1, max_buffer_size=64)
+    assert sm.stage_slimmable_size(1.0) is False  # already full width
+    assert sm.poll_slimmable_switch() is None
+
+
+def test_stage_superseded_by_newer():
+    sm = _load("slimmable_wavenet.nam")
+    sm.prewarm_on_reset = False
+    sm.reset(1, max_buffer_size=64)
+    sm.stage_slimmable_size(0.0)  # width 1
+    sm.stage_slimmable_size(0.5)  # width 2 supersedes
+    st = sm.wait_slimmable_switch(timeout=60)
+    assert st is not None
+    assert sm._current_size_key() == (2,)
+
+
+def test_container_staged_switch():
+    c = _load("slimmable_container.nam")
+    c.prewarm_on_reset = False
+    c.reset(1, max_buffer_size=64)
+    assert c.precompile_slimmable_sizes() == 3
+    assert c.stage_slimmable_size(0.1) is True
+    st = c.wait_slimmable_switch(timeout=60)
+    assert st is not None and c.active_index == 0
+    y, _ = c.process(np.zeros((1, 64), np.float32), st)
+    assert np.isfinite(np.asarray(y)).all()
