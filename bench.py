@@ -11,9 +11,11 @@ that sustains real time and report it as streams/chip.
 Beyond the headline flagship number, every BASELINE.json config gets its own
 real-time stream count (the reference's benchmodel runs on *any* model,
 tools/benchmodel.cpp:103-143): lstm, wavenet_a2_max, condition_dsp, the A2
-container at both widths, and the slimmable wavenet — each at its own gated
-precision, power-of-2 batch resolution. The flagship number is additionally
-reported at f32-exact precision ("f32_exact_streams").
+container at both widths, and the slimmable wavenet — saturated to the
+deadline with a bounded binary refinement, at a precision the reference's
+own 5e-5 implementation-equivalence gate accepts, with the p99 deadline
+margin recorded (and flagged when < 10%). The farm (host dataplane) is
+additionally measured at the headline operating point.
 
 Prints ONE JSON line:
   {"metric": "realtime_streams_per_chip", "value": N, "unit": "streams",
@@ -131,13 +133,12 @@ def _snr_check(model, candidate: str) -> float:
 
 
 # Secondary configs (BASELINE.json list): (name, model file, slim value or
-# None, starting batch for the doubling ladder). Power-of-2 batch resolution
-# only (no refinement) to bound bench wall time. Kernel tier is whatever
-# "auto" picks and is recorded per config in the output: plain WaveNets run
-# the fused Pallas kernel (dots pinned f32-exact); condition-DSP WaveNets
-# (a2_max, condition_dsp) and the LSTM run the XLA engine tier at the gated
-# precision (models/engine.py auto rule — the hybrid pallas path measured
-# slower for condition models).
+# None, starting batch for the doubling ladder). Kernel tier is whatever
+# "auto" picks and is recorded per config in the output: every WaveNet —
+# including the condition-DSP models a2_max and condition_dsp, whose
+# condition chains now FUSE into the kernel (ops/pallas/stack.py
+# _fused_chain, round 3) — runs the fused Pallas kernel with f32-exact dots;
+# only the LSTM runs the XLA engine tier at the gated precision.
 SECONDARY = [
     ("lstm", "/root/reference/example_models/lstm.nam", None, 16384),
     ("wavenet_a2_max", "/root/reference/example_models/wavenet_a2_max.nam", None, 2048),
@@ -151,12 +152,57 @@ SECONDARY = [
 # secondary sweep is bounded per config so the whole bench fits the watchdog
 # budget. start_B values sit at the measured v5e real-time edge; the ladder
 # jumps by the measured headroom (deadline/p50, capped 2-4x) and walks DOWN
-# when the start overshoots a slower chip.
+# when the start overshoots a slower chip. After the power-of-2 edge is
+# found, a bounded binary refinement (512-stream grid for B >= 2048, else
+# 128) saturates the number until the deadline actually binds — no "+"
+# lower bounds (VERDICT r2 ask #3).
 SECONDARY_MAX_PROBES = 4
+SECONDARY_REFINE_PROBES = 3
+
+
+def _margin_fields(stats, deadline):
+    """p99 margin to the deadline; anything under 10% is flagged tight."""
+    margin = (deadline - stats["p99"]) / deadline * 100.0
+    out = {"p99_margin_pct": round(margin, 1)}
+    if margin < 10.0:
+        out["tight"] = True
+    return out
+
+
+def _refine(bench, lo_B, lo_stats, hi_B, deadline, max_probes, gc, label=""):
+    """Binary-search the real-time edge between lo_B (passing) and hi_B
+    (failing) on a lane-friendly grid. Returns (best_B, best_stats)."""
+    best_B, best_stats = lo_B, lo_stats
+    probes = 0
+    for grid in (512, 128):
+        if grid >= best_B:
+            continue
+        lo, hi = best_B, hi_B
+        while hi - lo > grid and probes < max_probes:
+            mid = (lo + hi) // 2 // grid * grid
+            if mid in (lo, hi) or mid <= 0:
+                break
+            try:
+                stats = bench(mid)
+            except Exception:
+                break
+            finally:
+                gc.collect()
+            probes += 1
+            rt = stats["sustained"] <= deadline and stats["p50"] <= deadline * 1.5
+            print(
+                f"# refine {label} B={mid}: sustained={stats['sustained']*1e6:.0f}us rt={rt}",
+                file=sys.stderr,
+            )
+            if rt:
+                lo, best_B, best_stats = mid, mid, stats
+            else:
+                hi = mid
+    return best_B, best_stats
 
 
 def _bench_secondary(nam, gc):
-    """Adaptive real-time ladder for every secondary config."""
+    """Adaptive real-time ladder + bounded refinement per secondary config."""
     results = {}
     for name, path, slim, start_B in SECONDARY:
         model = nam.load_model(path)
@@ -165,10 +211,14 @@ def _bench_secondary(nam, gc):
         active = getattr(model, "active_model", model)
         active.prewarm_on_reset = False
         deadline = BLOCK / SR
+
+        def bench(B, active=active):
+            return _bench_batch(active, B, block=BLOCK, n_iters=100, warmup=10)
+
         best_B, best_stats, B = 0, None, start_B
         for _probe in range(SECONDARY_MAX_PROBES):
             try:
-                stats = _bench_batch(active, B, block=BLOCK, n_iters=100, warmup=10)
+                stats = bench(B)
             except Exception as e:
                 print(f"# {name} B={B} failed: {type(e).__name__}: {e}", file=sys.stderr)
                 break
@@ -189,6 +239,11 @@ def _bench_secondary(nam, gc):
                 B //= 2  # start_B overshot this chip: walk down to the edge
             else:
                 break
+        if best_B and B > best_B:
+            best_B, best_stats = _refine(
+                bench, best_B, best_stats, B, deadline,
+                SECONDARY_REFINE_PROBES, gc, label=name,
+            )
         if best_B:
             results[name] = {
                 "streams": best_B,
@@ -196,6 +251,7 @@ def _bench_secondary(nam, gc):
                 "p99_us": round(best_stats["p99"] * 1e6, 1),
                 "block": BLOCK,
                 "kernel": best_stats.get("kernel", "?"),
+                **_margin_fields(best_stats, deadline),
             }
         else:
             results[name] = {"streams": 0, "block": BLOCK}
@@ -223,23 +279,25 @@ def main():
     model = nam.load_model(MODEL)
     model.prewarm_on_reset = False
 
-    # Pick the fastest matmul precision whose error stays below this model's
-    # implementation-equivalence noise floor. Calibration: the reference's A2
-    # tolerance is 5e-5 ("byte-exactness + FMA-reorder slack",
-    # test_a2_fast.cpp:276-278), but on the flagship a1 model the
-    # FMA-reordering noise alone between float32-exact implementations
-    # measures ~6e-5 (tests/test_equivalence.py) — so the usable gate is
-    # 1e-4. On this backend DEFAULT is single-pass bf16 (~2e-2, always
-    # rejected); HIGH is bf16x3 (~7e-5, passes).
-    GATE = 1e-4
+    # Pick the fastest matmul precision that passes the REFERENCE's own
+    # implementation-equivalence gate: 5e-5 ("byte-exactness + FMA-reorder
+    # slack", test_a2_fast.cpp:276-278). Candidates that fail fall through to
+    # f32-exact (HIGHEST) — every reported number is one the reference's gate
+    # would accept (VERDICT r2 ask #3). On this backend DEFAULT is
+    # single-pass bf16 (~2e-2, always rejected) and HIGH is bf16x3 (~7e-5 on
+    # the flagship — rejected at this gate), so the XLA tier typically runs
+    # f32-exact; the fused Pallas kernel pins f32-exact regardless.
+    GATE = 5e-5
+    chosen = "highest"
     for candidate in ["default", "high"]:
         diff = _snr_check(model, candidate)
         print(f"# precision self-check: {candidate}-vs-exact max abs diff = {diff:.2e} "
               f"(gate {GATE:g})", file=sys.stderr)
         if diff < GATE:
-            set_matmul_precision(candidate)
-            print(f"# benching at precision={candidate}", file=sys.stderr)
+            chosen = candidate
             break
+    set_matmul_precision(chosen)
+    print(f"# benching XLA tier at precision={chosen}", file=sys.stderr)
 
     def ladder(block: int, start_B: int):
         """Find max real-time B at this block size (doubling + refinement)."""
@@ -339,8 +397,39 @@ def main():
             # engine tier (lstm and fallback configs).
             "f32_exact_streams": best_B,
             "dot_precision": "f32_exact",
+            **_margin_fields(best_stats, deadline),
         }
         out["models"] = _bench_secondary(nam, gc)
+        # Farm at the HEADLINE operating point (VERDICT r2 ask #4): the
+        # host dataplane (feeder threads -> native ring pool -> fused
+        # assembly/demux) measured at (best_B, best_block), plus the full
+        # farm dispatch loop. The deployable per-block rate is
+        # max(bare_step, host_dataplane) — the double-buffered pipeline
+        # overlaps the two; the raw farm number on THIS sandbox includes the
+        # ~8 MB/s tunnel D2H fetch a locally-attached chip doesn't pay.
+        try:
+            sys.path.insert(0, "/root/repo/tools")
+            import bench_farm as bf
+
+            host, fed_h = bf.bench_host_only(best_B, best_block, 150, feeders=4)
+            farm, fed_f = bf.bench_farm(model, best_B, best_block, 60, feeders=4)
+            projected = max(best_stats["p50"] * 1e6, host["p50"])
+            out["farm"] = {
+                "host_p50_us": round(host["p50"], 1),
+                "host_p99_us": round(host["p99"], 1),
+                "farm_p50_us": round(farm["p50"], 1),
+                "farm_p99_us": round(farm["p99"], 1),
+                "streams_fed_per_block": round(fed_f, 0),
+                "projected_p50_us": round(projected, 1),
+                "projected_realtime": bool(projected <= deadline * 1e6),
+            }
+            print(
+                f"# farm@headline B={best_B} T={best_block}: host p50={host['p50']:.0f}us "
+                f"farm p50={farm['p50']:.0f}us projected={projected:.0f}us",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"# farm bench failed: {type(e).__name__}: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 
