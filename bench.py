@@ -59,7 +59,7 @@ def _sync(y):
     return float(jnp.sum(y[0, 0]))
 
 
-def _bench_batch(model, B, block=BLOCK, n_iters=200, warmup=20):
+def _bench_batch(model, B, block=BLOCK, n_iters=200, warmup=20, kernel="auto"):
     """Sustained per-block latency for batch size B: a chain of n_iters
     state-dependent steps with ONE final scalar-fetch sync (amortizes the
     ~24 ms tunnel round-trip). The chain's state dependency makes total/n a
@@ -67,7 +67,7 @@ def _bench_batch(model, B, block=BLOCK, n_iters=200, warmup=20):
     per-block means. Uses the StreamEngine (ring-state production path)."""
     from neuralampmodelercore_tpu.models.engine import StreamEngine
 
-    engine = StreamEngine(model, batch=B, block_size=block)
+    engine = StreamEngine(model, batch=B, block_size=block, kernel=kernel)
     step = engine.step_fn()
     params = engine.params
     state = engine.init_state()
