@@ -213,6 +213,41 @@ def test_condition_dsp_fused():
     _run_equivalence(m, T=16, n_blocks=8)
 
 
+def test_condition_dsp_chain_depth2_fused():
+    """A WaveNet condition DSP that itself has a WaveNet condition DSP:
+    the whole chain fuses as nets [deepest, middle, main] inside one kernel
+    (reference recursion: NAM/wavenet/model.cpp:841-852)."""
+    from neuralampmodelercore_tpu.tools.generate import make_nam as mk, with_condition_dsp
+
+    def layers(ch, ks, dil, head):
+        return {
+            "layers": [
+                {
+                    "input_size": 1,
+                    "condition_size": 1,
+                    "channels": ch,
+                    "head_size": head,
+                    "kernel_size": ks,
+                    "dilations": dil,
+                    "activation": "Tanh",
+                    "gated": False,
+                    "head_bias": True,
+                }
+            ],
+            "head": None,
+        }
+
+    deepest = mk("WaveNet", layers(3, 2, [1, 4], 2), seed=21)
+    mid_cfg = with_condition_dsp(layers(4, 3, [1, 8], 3), deepest)
+    mid = mk("WaveNet", mid_cfg, seed=22)
+    main_cfg = with_condition_dsp(layers(6, 3, [1, 4, 16], 1), mid)
+    m = _wavenet_model(main_cfg, seed=23)
+    assert stack.cond_mode(m.config, 16) == "fused"
+    plan, _ = stack._build_plan_cached(m.config, 16, B)
+    assert len(plan.nets) == 3
+    _run_equivalence(m, T=16, n_blocks=8)
+
+
 def test_condition_dsp_lstm_prepass():
     """A non-WaveNet (LSTM) condition DSP cannot fuse: the kernel falls back
     to the XLA engine pre-pass feeding its external condition input."""
