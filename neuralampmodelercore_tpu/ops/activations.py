@@ -146,13 +146,19 @@ def softsign(x: jnp.ndarray) -> jnp.ndarray:
 
 using_fast_tanh: bool = False
 
-# name -> (min, max, table np.ndarray) ; replaces Tanh / Sigmoid / SiLU.
-_luts: Dict[str, Tuple[float, float, np.ndarray]] = {}
+# name -> (min, max, n_points) ; replaces Tanh / Sigmoid / SiLU.
+_luts: Dict[str, Tuple[float, float, int]] = {}
 
 _LUT_BASE_FNS = {
     "Tanh": np.tanh,
     "Sigmoid": lambda x: 1.0 / (1.0 + np.exp(-x)),
     "SiLU": lambda x: x / (1.0 + np.exp(-x)),
+}
+
+_LUT_JNP_FNS = {
+    "Tanh": jnp.tanh,
+    "Sigmoid": lambda x: jax.nn.sigmoid(x),
+    "SiLU": lambda x: x * jax.nn.sigmoid(x),
 }
 
 
@@ -173,29 +179,41 @@ def enable_lut(function_name: str, min_x: float, max_x: float, n_points: int) ->
     (reference: NAM/activations.cpp:189-232)."""
     if function_name not in _LUT_BASE_FNS:
         raise ValueError(f"LUT not supported for activation: {function_name}")
-    xs = np.linspace(min_x, max_x, n_points).astype(np.float32)
-    table = _LUT_BASE_FNS[function_name](xs.astype(np.float64)).astype(np.float32)
-    _luts[function_name] = (float(min_x), float(max_x), table)
+    if n_points < 2:
+        raise ValueError("LUT needs at least 2 points")
+    _luts[function_name] = (float(min_x), float(max_x), int(n_points))
 
 
 def disable_lut(function_name: str) -> None:
     _luts.pop(function_name, None)
 
 
-def _lut_apply(x: jnp.ndarray, min_x: float, max_x: float, table: np.ndarray) -> jnp.ndarray:
-    """Clamped linear-interpolation lookup (reference: NAM/activations.h:393-410)."""
-    n = table.shape[0]
+def _lut_apply(x: jnp.ndarray, min_x: float, max_x: float, n: int, fn_name: str) -> jnp.ndarray:
+    """Clamped uniform-grid linear-interpolation lookup
+    (reference: FastLUTActivation::apply, NAM/activations.h:393-410).
+
+    GATHER-FREE: the reference's tables are always built from a KNOWN base
+    function on a uniform grid (enable_lut only accepts Tanh/Sigmoid/SiLU,
+    NAM/activations.cpp:189-232), so the looked-up entries t[i] = f(g_i) are
+    recomputed at the two bracketing grid points instead of fetched —
+    reproducing the piecewise-linear output to ~1 ulp. A real table gather
+    lowers to a serialized per-element loop on TPU: measured 339 ms/block vs
+    2 ms exact-tanh at B=2048 (tools/bench_lut.py, v5e) — 170x slower. The
+    re-evaluation form costs ~2 base-function evaluations (pure VPU), works
+    inside the fused Pallas kernel (no table constant to capture), and keeps
+    the LUT's exact interpolation semantics for render parity."""
+    fn = _LUT_JNP_FNS[fn_name]
     step = (max_x - min_x) / (n - 1)
     xc = jnp.clip(x, min_x, max_x)
     f_idx = (xc - min_x) * (1.0 / step)
     i = jnp.clip(f_idx.astype(jnp.int32), 0, n - 2)
     frac = f_idx - i.astype(x.dtype)
-    t = jnp.asarray(table)
-    y0 = t[i]
-    y1 = t[i + 1]
+    g0 = min_x + i.astype(x.dtype) * step
+    y0 = fn(g0)
+    y1 = fn(g0 + step)
     y = y0 + (y1 - y0) * frac
     # Edge case at max (reference: NAM/activations.h:403-405).
-    return jnp.where(f_idx >= n - 1, t[n - 1], y)
+    return jnp.where(f_idx >= n - 1, fn(jnp.full_like(x, max_x)), y)
 
 
 # =============================================================================
@@ -215,7 +233,7 @@ def apply(config: ActivationConfig, x: jnp.ndarray, channel_axis: int = -1) -> j
         if using_fast_tanh:
             return fast_tanh(x)
         if "Tanh" in _luts:
-            return _lut_apply(x, *_luts["Tanh"])
+            return _lut_apply(x, *_luts["Tanh"], "Tanh")
         return jnp.tanh(x)
     if t == "Hardtanh":
         return hard_tanh(x)
@@ -260,11 +278,11 @@ def apply(config: ActivationConfig, x: jnp.ndarray, channel_axis: int = -1) -> j
             # keep exact sigmoid here.
             pass
         if "Sigmoid" in _luts:
-            return _lut_apply(x, *_luts["Sigmoid"])
+            return _lut_apply(x, *_luts["Sigmoid"], "Sigmoid")
         return jax.nn.sigmoid(x)
     if t == "SiLU":
         if "SiLU" in _luts:
-            return _lut_apply(x, *_luts["SiLU"])
+            return _lut_apply(x, *_luts["SiLU"], "SiLU")
         return x * jax.nn.sigmoid(x)
     if t == "Hardswish":
         return hardswish(x)

@@ -57,9 +57,13 @@ pallas_call serialized against the pre-pass, so fusion is what makes the
 condition-DSP corpus models pallas-viable), while non-WaveNet condition
 DSPs (e.g. LSTM) run as an XLA engine-tier pre-pass whose output enters
 the kernel as a second input.
-Remaining gate: LUT-mode activations, batch % 128 != 0, head/post-head
-receptive field > T, and configs whose VMEM footprint exceeds the budget —
-those fall back to the XLA engine step (models.engine picks automatically).
+LUT-mode activations run in-kernel too (round 3): `_lut_apply` is
+gather-free — it re-evaluates the base function at the bracketing grid
+points instead of fetching table entries (a real gather serializes
+per-element on TPU: measured 170x slower, tools/bench_lut.py).
+Remaining gate: batch % 128 != 0, head/post-head receptive field > T, and
+configs whose VMEM footprint exceeds the budget — those fall back to the
+XLA engine step (models.engine picks automatically).
 """
 
 from __future__ import annotations
@@ -305,17 +309,16 @@ class _Plan:
 
 
 def _single_cfg_gate(cfg, T: int) -> Optional[str]:
-    """Per-WaveNetConfig kernel gates (ignoring condition DSP and batch)."""
+    """Per-WaveNetConfig kernel gates (ignoring condition DSP and batch).
+    LUT-mode activations are NOT gated: _lut_apply is gather-free (it
+    re-evaluates the base function at the bracketing grid points,
+    ops/activations.py), so it runs inside the kernel like any other
+    elementwise activation."""
     for ai, ac in enumerate(cfg.layer_arrays):
         hr_rf = (ac.head_kernel_size - 1) * ac.head_dilation
         if hr_rf > T:
             return f"array {ai}: head rechannel receptive field {hr_rf} > T={T}"
-        for a_cfg in list(ac.activations) + list(ac.secondary_activations):
-            if a_cfg.type in act._luts:
-                return f"LUT-mode activation {a_cfg.type}"
     if cfg.head is not None:
-        if cfg.head.activation.type in act._luts:
-            return f"LUT-mode activation {cfg.head.activation.type}"
         for k in cfg.head.kernel_sizes:
             if k - 1 > T:
                 return f"post-stack head conv receptive field {k - 1} > T={T}"

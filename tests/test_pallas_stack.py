@@ -388,6 +388,31 @@ def test_engine_state_checkpoint_roundtrip():
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
 
 
+def test_lut_mode_in_kernel():
+    """LUT-mode activations run INSIDE the fused kernel (round 3): the
+    gather-free _lut_apply needs no table constant, so supports() admits
+    LUT configs and both tiers produce the same piecewise-linear output."""
+    from neuralampmodelercore_tpu.ops import activations as act
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    act.enable_lut("Tanh", -5.0, 5.0, 512)
+    try:
+        assert stack.supports(m.config, 16, B) is None
+        _run_equivalence(m, T=16, n_blocks=6, seed=13)
+    finally:
+        act.disable_lut("Tanh")
+    # sanity: LUT output differs from exact tanh (the mode is actually on)
+    x = np.linspace(-3, 3, 101).astype(np.float32)
+    act.enable_lut("Tanh", -5.0, 5.0, 32)
+    try:
+        import jax.numpy as jnp
+
+        y = np.asarray(act.apply(act.ActivationConfig.simple("Tanh"), jnp.asarray(x)))
+    finally:
+        act.disable_lut("Tanh")
+    assert not np.allclose(y, np.tanh(x), atol=1e-5)
+
+
 def test_ring_counter_wrap_soak():
     """Long-uptime safety: the block counter wraps at the LCM of the ring
     sizes, so a stream running past 2^31 blocks (~33 days at T=64) — or a

@@ -1,20 +1,16 @@
-"""Measure the LUT-activation kernel gate (VERDICT r2 ask #8).
+"""Measure LUT-mode activation cost in both tiers (VERDICT r2 ask #8).
 
 LUT mode (reference: FastLUTActivation, NAM/activations.h:374-425) exists to
-make tanh/sigmoid cheap on CPUs. The fused Pallas kernel refuses LUT configs
-(ops/pallas/stack.py supports()) because a per-element table gather doesn't
-vectorize on the TPU VPU — so LUT corpora run the XLA engine tier. This tool
-quantifies that gate at a fixed operating point:
+make tanh/sigmoid cheap on CPUs. History: a literal table gather measured
+339 ms/block on TPU (vs 2 ms exact tanh, B=2048 — gathers serialize
+per-element), so round 3 made `_lut_apply` gather-free: the base function is
+re-evaluated at the two bracketing grid points (ops/activations.py), which
+reproduces the interpolation to ~1 ulp, runs on the VPU, and lifted the
+fused-kernel gate — `supports()` now admits LUT configs. This tool measures:
 
-  1. exact-tanh, fused Pallas kernel   (what non-LUT corpora get)
-  2. exact-tanh, XLA engine tier       (the tier LUT configs fall back to)
-  3. LUT-tanh,   XLA engine tier       (what LUT corpora actually run)
-
-(3) vs (2) shows the LUT itself buys nothing on TPU (exact tanh is a cheap
-VPU op; the interpolation's gather/round work costs about as much); (2) vs
-(1) is the price of losing the fused kernel — the real cost of enabling LUT
-mode on TPU, which is why the gate is justified by measurement rather than
-by a VPU gather implementation.
+  1. exact-tanh, fused Pallas kernel
+  2. LUT-tanh,   fused Pallas kernel  (what LUT corpora now run under auto)
+  3. LUT-tanh,   XLA engine tier
 
 Usage: python tools/bench_lut.py [--batch 2048] [--block 64]
 """
@@ -63,20 +59,18 @@ def main():
         _stack.INTERPRET = True
         print("# WARNING: not on TPU; pallas row runs in interpret mode", flush=True)
 
+    from neuralampmodelercore_tpu.ops.pallas import stack
+
     rows = []
     for label, lut, kernel in (
         ("exact-tanh pallas", False, "pallas"),
-        ("exact-tanh xla", False, "xla"),
-        ("LUT-tanh xla (auto)", True, "auto"),
+        ("LUT-tanh pallas", True, "pallas"),
+        ("LUT-tanh xla", True, "xla"),
     ):
         if lut:
             act.enable_lut("Tanh", -5.0, 5.0, 1024)
+            assert stack.supports(model.config, T, B) is None  # gate lifted
         try:
-            from neuralampmodelercore_tpu.ops.pallas import stack
-
-            if kernel == "auto":  # LUT row: prove the gate actually fires
-                reason = stack.supports(model.config, T, B)
-                assert reason is not None and "LUT" in reason, reason
             stats = _bench_batch(model, B, block=T, n_iters=150, warmup=15, kernel=kernel)
             rows.append((label, stats))
             print(
@@ -90,9 +84,8 @@ def main():
     if len(rows) == 3:
         p = {l: s["p50"] for l, s in rows}
         print(
-            f"LUT-vs-exact on the XLA tier: {p['LUT-tanh xla (auto)'] / p['exact-tanh xla']:.2f}x; "
-            f"cost of losing the fused kernel: "
-            f"{p['LUT-tanh xla (auto)'] / p['exact-tanh pallas']:.2f}x",
+            f"LUT-vs-exact in the fused kernel: "
+            f"{p['LUT-tanh pallas'] / p['exact-tanh pallas']:.2f}x",
             flush=True,
         )
 
