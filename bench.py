@@ -174,10 +174,11 @@ def _refine(bench, lo_B, lo_stats, hi_B, deadline, max_probes, gc, label=""):
     (failing) on a lane-friendly grid. Returns (best_B, best_stats)."""
     best_B, best_stats = lo_B, lo_stats
     probes = 0
+    hi_known = hi_B  # narrowed failing bracket carries across grids
     for grid in (512, 128):
         if grid >= best_B:
             continue
-        lo, hi = best_B, hi_B
+        lo, hi = best_B, hi_known
         while hi - lo > grid and probes < max_probes:
             mid = (lo + hi) // 2 // grid * grid
             if mid in (lo, hi) or mid <= 0:
@@ -197,7 +198,7 @@ def _refine(bench, lo_B, lo_stats, hi_B, deadline, max_probes, gc, label=""):
             if rt:
                 lo, best_B, best_stats = mid, mid, stats
             else:
-                hi = mid
+                hi = hi_known = mid
     return best_B, best_stats
 
 

@@ -113,9 +113,12 @@ class SlimmableModelMixin:
         slot = self._stage_slot
         key = self._resolve_size_key(val)
         with slot["_stage_lock"]:
-            if key == self._current_size_key() and slot["_staged"] is None:
-                return False
+            # The newest request always wins: drop any completed-but-unadopted
+            # older switch and invalidate any in-flight build.
+            slot["_staged"] = None
             slot["_stage_token"] = token = object()
+            if key == self._current_size_key():
+                return False  # stay at the current size; older stage cancelled
 
         def work():
             state = self._build_state_for_key(key)

@@ -70,43 +70,53 @@ def _try_load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        # signatures
-        i64, f32p = ctypes.c_int64, ctypes.POINTER(ctypes.c_float)
-        lib.nam_transpose_bt_tb.argtypes = [f32p, i64, i64, f32p]
-        lib.nam_transpose_tb_bt.argtypes = [f32p, i64, i64, f32p]
-        lib.nam_decode_pcm16.argtypes = [ctypes.POINTER(ctypes.c_int16), i64, f32p]
-        lib.nam_decode_pcm24.argtypes = [ctypes.POINTER(ctypes.c_uint8), i64, f32p]
-        lib.nam_decode_pcm32.argtypes = [ctypes.POINTER(ctypes.c_int32), i64, f32p]
-        lib.nam_encode_pcm16.argtypes = [f32p, i64, ctypes.POINTER(ctypes.c_int16)]
-        lib.nam_ring_create.restype = ctypes.c_void_p
-        lib.nam_ring_create.argtypes = [i64, i64]
-        lib.nam_ring_destroy.argtypes = [ctypes.c_void_p]
-        lib.nam_ring_size.restype = i64
-        lib.nam_ring_size.argtypes = [ctypes.c_void_p]
-        lib.nam_ring_push.restype = ctypes.c_int
-        lib.nam_ring_push.argtypes = [ctypes.c_void_p, f32p]
-        lib.nam_ring_pop.restype = ctypes.c_int
-        lib.nam_ring_pop.argtypes = [ctypes.c_void_p, f32p]
-        lib.nam_pool_create.restype = ctypes.c_void_p
-        lib.nam_pool_create.argtypes = [i64, i64, i64]
-        lib.nam_pool_destroy.argtypes = [ctypes.c_void_p]
-        lib.nam_pool_size.restype = i64
-        lib.nam_pool_size.argtypes = [ctypes.c_void_p, i64]
-        lib.nam_pool_push.restype = ctypes.c_int
-        lib.nam_pool_push.argtypes = [ctypes.c_void_p, i64, f32p]
-        lib.nam_pool_pop.restype = ctypes.c_int
-        lib.nam_pool_pop.argtypes = [ctypes.c_void_p, i64, f32p]
-        lib.nam_pool_push_range.restype = i64
-        lib.nam_pool_push_range.argtypes = [ctypes.c_void_p, i64, i64, f32p]
-        lib.nam_pool_pop_all_tb.restype = i64
-        lib.nam_pool_pop_all_tb.argtypes = [ctypes.c_void_p, f32p]
-        lib.nam_pool_push_all_tb.restype = i64
-        lib.nam_pool_push_all_tb.argtypes = [ctypes.c_void_p, f32p]
-        lib.nam_native_abi_version.restype = ctypes.c_int
-        if lib.nam_native_abi_version() != ABI_VERSION:
-            return None  # stale library and rebuild failed: use numpy fallbacks
-        _lib = lib
-        return _lib
+        try:
+            return _bind_and_check(lib)
+        except AttributeError:
+            # Pre-marker/pre-pool binary whose rebuild failed: missing
+            # symbols mean stale ABI — use the numpy fallbacks.
+            return None
+
+
+def _bind_and_check(lib: ctypes.CDLL) -> Optional[ctypes.CDLL]:
+    global _lib
+    # signatures
+    i64, f32p = ctypes.c_int64, ctypes.POINTER(ctypes.c_float)
+    lib.nam_transpose_bt_tb.argtypes = [f32p, i64, i64, f32p]
+    lib.nam_transpose_tb_bt.argtypes = [f32p, i64, i64, f32p]
+    lib.nam_decode_pcm16.argtypes = [ctypes.POINTER(ctypes.c_int16), i64, f32p]
+    lib.nam_decode_pcm24.argtypes = [ctypes.POINTER(ctypes.c_uint8), i64, f32p]
+    lib.nam_decode_pcm32.argtypes = [ctypes.POINTER(ctypes.c_int32), i64, f32p]
+    lib.nam_encode_pcm16.argtypes = [f32p, i64, ctypes.POINTER(ctypes.c_int16)]
+    lib.nam_ring_create.restype = ctypes.c_void_p
+    lib.nam_ring_create.argtypes = [i64, i64]
+    lib.nam_ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.nam_ring_size.restype = i64
+    lib.nam_ring_size.argtypes = [ctypes.c_void_p]
+    lib.nam_ring_push.restype = ctypes.c_int
+    lib.nam_ring_push.argtypes = [ctypes.c_void_p, f32p]
+    lib.nam_ring_pop.restype = ctypes.c_int
+    lib.nam_ring_pop.argtypes = [ctypes.c_void_p, f32p]
+    lib.nam_pool_create.restype = ctypes.c_void_p
+    lib.nam_pool_create.argtypes = [i64, i64, i64]
+    lib.nam_pool_destroy.argtypes = [ctypes.c_void_p]
+    lib.nam_pool_size.restype = i64
+    lib.nam_pool_size.argtypes = [ctypes.c_void_p, i64]
+    lib.nam_pool_push.restype = ctypes.c_int
+    lib.nam_pool_push.argtypes = [ctypes.c_void_p, i64, f32p]
+    lib.nam_pool_pop.restype = ctypes.c_int
+    lib.nam_pool_pop.argtypes = [ctypes.c_void_p, i64, f32p]
+    lib.nam_pool_push_range.restype = i64
+    lib.nam_pool_push_range.argtypes = [ctypes.c_void_p, i64, i64, f32p]
+    lib.nam_pool_pop_all_tb.restype = i64
+    lib.nam_pool_pop_all_tb.argtypes = [ctypes.c_void_p, f32p]
+    lib.nam_pool_push_all_tb.restype = i64
+    lib.nam_pool_push_all_tb.argtypes = [ctypes.c_void_p, f32p]
+    lib.nam_native_abi_version.restype = ctypes.c_int
+    if lib.nam_native_abi_version() != ABI_VERSION:
+        return None  # stale library and rebuild failed: use numpy fallbacks
+    _lib = lib
+    return _lib
 
 
 def have_native() -> bool:

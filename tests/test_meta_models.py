@@ -198,6 +198,20 @@ def test_stage_noop_for_current_size():
     assert sm.poll_slimmable_switch() is None
 
 
+def test_stage_to_current_cancels_pending():
+    """A completed-but-unadopted stage must NOT be adopted after a newer
+    request resolves to the current size: the newest request always wins."""
+    sm = _load("slimmable_wavenet.nam")
+    sm.prewarm_on_reset = False
+    sm.reset(1, max_buffer_size=64)
+    sm.stage_slimmable_size(0.0)  # width 1
+    t = sm._stage_slot["_stage_thread"]
+    t.join(60)  # let it complete and publish
+    assert sm.stage_slimmable_size(1.0) is False  # newest request: stay full
+    assert sm.poll_slimmable_switch() is None  # stale width-1 switch dropped
+    assert sm._current_size_key() == (3,)
+
+
 def test_stage_superseded_by_newer():
     sm = _load("slimmable_wavenet.nam")
     sm.prewarm_on_reset = False

@@ -83,10 +83,43 @@ def test_dp_sharded_pallas_flagship_2dev():
 
 
 def test_dp_sharded_pallas_condition_dsp():
-    """Nested condition DSP: the pre-pass state subtree shards on its
-    trailing stream axis inside the same shard_map."""
+    """Nested WaveNet condition DSP: the chain FUSES into the kernel
+    (stack._fused_chain), so the sharded state carries its rings/tails in
+    the flat lists — no pre-pass subtree."""
     m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_condition_dsp.nam"))
+    assert stack.cond_mode(m.config, 16) == "fused"
     _compare_sharded(m, n_devices=2, T=16, n_blocks=2)
+
+
+def test_dp_sharded_pallas_lstm_condition_prepass():
+    """Non-fusable (LSTM) condition DSP under sharding: the XLA pre-pass
+    state subtree ('condition', trailing-B leaves incl. LSTM h/c) must
+    shard on the stream axis inside the same shard_map."""
+    from neuralampmodelercore_tpu.tools.generate import make_nam, with_condition_dsp
+
+    sub = make_nam("LSTM", {"input_size": 1, "hidden_size": 3, "num_layers": 1}, seed=3)
+    config = {
+        "layers": [
+            {
+                "input_size": 1,
+                "condition_size": 1,
+                "channels": 6,
+                "head_size": 1,
+                "kernel_size": 3,
+                "dilations": [1, 4, 16],
+                "activation": "Tanh",
+                "gated": False,
+                "head_bias": True,
+            }
+        ],
+        "head": None,
+    }
+    m = nam.load_model(make_nam("WaveNet", with_condition_dsp(config, sub), seed=9))
+    assert stack.cond_mode(m.config, 16) == "prepass"
+    # explicit kernel="pallas": auto would avoid the pre-pass hybrid
+    eng = StreamEngine(m, batch=256, block_size=16, kernel="pallas")
+    assert "condition" in eng.init_state()
+    _compare_sharded(m, n_devices=2, T=16, n_blocks=3, seed=4)
 
 
 def test_dp_sharded_pallas_local_width_differs_from_global():

@@ -64,8 +64,12 @@ def main():
     jax.block_until_ready(st2)
     warm_ms = (time.perf_counter() - t0) * 1e3
 
-    # staged switch while serving: worst serving-block time during the build
-    st = m.set_slimmable_size(1.0)
+    # staged switch while serving: worst serving-block time during the build.
+    # Use a FRESH model instance — the precompile above warmed every width on
+    # `m`, and the point of this phase is overlapping a genuinely cold
+    # trace+compile+prewarm with the serving loop.
+    m = nam.load_model(args.model)
+    st = m.reset(args.batch, max_buffer_size=args.block)
     for _ in range(3):
         y, st = m.process(x, st)
     np.asarray(y)
