@@ -49,21 +49,25 @@ class StreamEngine:
         if kernel != "xla":
             import jax as _jax
 
-            from ..ops.pallas import stack as _stack
+            from ..ops.pallas import backend_for
 
-            reason = _stack.supports(model.config, self.block_size, self.batch)
+            _backend = backend_for(model.config)
+            reason = _backend.supports(model.config, self.block_size, self.batch)
             # auto picks the measured-fastest tier. WaveNet condition chains
             # FUSE into the kernel (stack._fused_chain) — no pre-pass, so
             # auto takes pallas for them. Only non-fusable condition DSPs
-            # (e.g. LSTM) still need the hybrid XLA-prepass + pallas-main
-            # program, which measured ~4x SLOWER than the pure XLA step on
-            # the example corpus (tools/diag: 736 vs 196 us/block at B=512) —
-            # the pallas_call serializes against the pre-pass and the main
-            # nets of such models are tiny. Explicit kernel="pallas" still
-            # takes the fused path.
+            # still need the hybrid XLA-prepass + pallas-main program, which
+            # measured ~4x SLOWER than the pure XLA step on the example
+            # corpus (tools/diag: 736 vs 196 us/block at B=512) — the
+            # pallas_call serializes against the pre-pass and the main nets
+            # of such models are tiny. Explicit kernel="pallas" still takes
+            # the fused path.
             needs_prepass = (
                 reason is None
-                and _stack.cond_mode(model.config, self.block_size) == "prepass"
+                and getattr(_backend, "cond_mode", lambda c, t: "none")(
+                    model.config, self.block_size
+                )
+                == "prepass"
             )
             if reason is None and (
                 kernel == "pallas"
@@ -73,9 +77,7 @@ class StreamEngine:
             elif kernel == "pallas":
                 raise ValueError(f"pallas stack kernel does not support this model: {reason}")
         if use_pallas:
-            from ..ops.pallas import stack as _stack
-
-            prepare_fn, step_fn = _stack.prepare, _stack.step
+            prepare_fn, step_fn = _backend.prepare, _backend.step
             self.kernel = "pallas"
         else:
             prepare_fn, step_fn = registry.engine_fns(arch)

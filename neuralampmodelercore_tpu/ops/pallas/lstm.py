@@ -1,0 +1,212 @@
+"""Fused LSTM Pallas kernel: the whole block's recurrence in ONE kernel.
+
+Why: the XLA engine tier (models/lstm.py engine_step, lax.scan) round-trips
+the (h, c) carry and the per-step activations through HBM on every one of
+the T sequential steps — measured 440 us/block at B=18432/T=64 on v5e where
+the state traffic floor is ~85 us. This kernel keeps h and c VMEM-resident
+for the whole block: the grid tiles the stream batch, each tile loads its
+(L, H, w) carries once, runs the T-step recurrence entirely in VMEM
+(weights are tiny and live in VMEM too), collects the top-layer h into a
+scratch, and finishes with ONE (O, H) x (H, T*w) head matmul.
+
+Semantics are identical to the XLA engine step (itself pinned to the
+reference per-sample loop, NAM/lstm.cpp:31-68,103-168):
+
+  ifgo = W @ [x; h] + b            (gate order i, f, g, o; lstm.cpp:19-23)
+  c' = sig(f) * c + sig(i) * tanh(g)
+  h' = sig(o) * tanh(c')
+  y  = head_W @ h_top + head_b
+
+with the fast_sigmoid/fast_tanh variants when global fast-tanh mode is on
+(lstm.cpp:48-58), and initial h/c from the weight stream (lstm.cpp:24-28)
+broadcast per stream by ``prepare``. Gate weights are pre-split and
+zero-padded to the 8-row sublane grid, so padded state rows stay inert.
+
+Equivalence is tested in interpret mode (tests/test_pallas_lstm.py) and
+on-device by tools/ondevice_agreement.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import activations as act
+from .stack import SUBLANE, VMEM_BUDGET, VMEM_LIMIT, W_TILE, _pad8
+
+# Interpret mode for CPU testing (tests set this).
+INTERPRET = False
+
+DOT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def supports(cfg, T: int, batch: int) -> Optional[str]:
+    """None if the fused kernel handles this config, else the reason."""
+    from ...models.lstm import LSTMConfig
+
+    if not isinstance(cfg, LSTMConfig):
+        return f"not an LSTMConfig: {type(cfg).__name__}"
+    if cfg.num_layers < 1:
+        return "passthrough LSTM (num_layers == 0)"
+    if cfg.input_size != cfg.in_channels:
+        return f"input_size {cfg.input_size} != in_channels {cfg.in_channels}"
+    if batch % W_TILE != 0 or batch < W_TILE:
+        return f"batch {batch} not a multiple of {W_TILE}"
+    if T % SUBLANE != 0:
+        return f"block size {T} not a multiple of {SUBLANE}"
+    if T > 512:
+        return f"block size {T} > 512 (unrolled recurrence trace)"
+    if _pick_w(cfg, T, batch) == 0:
+        return "VMEM budget exceeded"
+    return None
+
+
+def _tile_bytes(cfg, T: int, w: int) -> int:
+    Hp = _pad8(cfg.hidden_size)
+    rows = (
+        cfg.in_channels  # x block
+        + cfg.out_channels  # y block
+        + Hp  # h_all scratch
+    )
+    state = 2 * cfg.num_layers * Hp * w * 4  # h + c carries
+    return 2 * rows * T * w * 4 + state  # x/y double-buffered
+
+
+def _pick_w(cfg, T: int, batch: int) -> int:
+    for w in (1024, 512, 256, 128):
+        if batch % w == 0 and _tile_bytes(cfg, T, w) <= VMEM_BUDGET:
+            return w
+    return 0
+
+
+def prepare(cfg, params, T: int, batch: int):
+    """Gate-split zero-padded weights + broadcast initial state."""
+    reason = supports(cfg, T, batch)
+    if reason is not None:
+        raise ValueError(f"pallas lstm kernel does not support this config: {reason}")
+    H, Hp = cfg.hidden_size, _pad8(cfg.hidden_size)
+    weights = []
+    for li, lp in enumerate(params["layers"]):
+        isz = cfg.input_size if li == 0 else H
+        w = np.asarray(lp["w"]).T  # (4H, I+H), rows i,f,g,o
+        b = np.asarray(lp["b"])
+        cols = cfg.in_channels if li == 0 else Hp  # layer 0 reads x, rest read h
+        for gi in range(4):
+            wx = np.zeros((Hp, cols), np.float32)
+            wh = np.zeros((Hp, Hp), np.float32)
+            wx[:H, :isz] = w[gi * H : (gi + 1) * H, :isz]
+            wh[:H, :H] = w[gi * H : (gi + 1) * H, isz:]
+            bg = np.zeros((Hp, 1), np.float32)
+            bg[:H, 0] = b[gi * H : (gi + 1) * H]
+            weights += [jnp.asarray(wx), jnp.asarray(wh), jnp.asarray(bg)]
+    hw = np.zeros((cfg.out_channels, Hp), np.float32)
+    hw[:, :H] = np.asarray(params["head_w"]).T
+    hb = np.asarray(params["head_b"]).reshape(cfg.out_channels, 1)
+    weights += [jnp.asarray(hw), jnp.asarray(hb)]
+
+    def bcast(v):  # (L, Hp, batch), padded rows zero
+        out = np.zeros((cfg.num_layers, Hp, 1), np.float32)
+        for li, lp in enumerate(params["layers"]):
+            out[li, :H, 0] = np.asarray(v(lp))
+        return jnp.broadcast_to(jnp.asarray(out), (cfg.num_layers, Hp, batch))
+
+    state = {"h": bcast(lambda l: l["h0"]), "c": bcast(lambda l: l["c0"])}
+    return {"weights": weights}, state
+
+
+def _gdot(w, x):
+    """(O, S) x (S, N) with a broadcast-sum for tiny contractions."""
+    S = w.shape[1]
+    if S <= 4:
+        y = w[:, 0:1] * x[0:1, :]
+        for s in range(1, S):
+            y = y + w[:, s : s + 1] * x[s : s + 1, :]
+        return y
+    return jax.lax.dot_general(
+        w, x, (((1,), (0,)), ((), ())),
+        precision=DOT_PRECISION, preferred_element_type=jnp.float32,
+    )
+
+
+def _make_kernel(cfg, T: int, w: int):
+    L, H, Hp = cfg.num_layers, cfg.hidden_size, _pad8(cfg.hidden_size)
+    O = cfg.out_channels
+    if act.using_fast_tanh:
+        sig, th = act.fast_sigmoid, act.fast_tanh
+    else:
+        sig, th = jax.nn.sigmoid, jnp.tanh
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        wr = refs[1 : 1 + 12 * L + 2]
+        h_ref, c_ref = refs[1 + 12 * L + 2], refs[2 + 12 * L + 2]
+        y_ref, ho_ref, co_ref = refs[3 + 12 * L + 2 : 6 + 12 * L + 2]
+        hall = refs[6 + 12 * L + 2]
+
+        h = [h_ref[l] for l in range(L)]
+        c = [c_ref[l] for l in range(L)]
+        for t in range(T):
+            inp = x_ref[:, t]  # (Cin, w)
+            for l in range(L):
+                base = 12 * l
+                zi = _gdot(wr[base + 0][:], inp) + _gdot(wr[base + 1][:], h[l]) + wr[base + 2][:]
+                zf = _gdot(wr[base + 3][:], inp) + _gdot(wr[base + 4][:], h[l]) + wr[base + 5][:]
+                zg = _gdot(wr[base + 6][:], inp) + _gdot(wr[base + 7][:], h[l]) + wr[base + 8][:]
+                zo = _gdot(wr[base + 9][:], inp) + _gdot(wr[base + 10][:], h[l]) + wr[base + 11][:]
+                c[l] = sig(zf) * c[l] + sig(zi) * th(zg)
+                h[l] = sig(zo) * th(c[l])
+                inp = h[l]
+            hall[:, t] = inp
+        # head over the whole block in one dot (O, Hp) x (Hp, T*w)
+        y = _gdot(wr[12 * L][:], hall[:].reshape(Hp, T * w)) + wr[12 * L + 1][:]
+        y_ref[:] = y.reshape(O, T, w)
+        for l in range(L):
+            ho_ref[l] = h[l]
+            co_ref[l] = c[l]
+
+    return kernel
+
+
+def step(cfg, T: int, eparams, state, x):
+    """Block step, engine CTB convention: x (Cin, T, B) -> (y (Cout, T, B), state')."""
+    B = x.shape[2]
+    w = _pick_w(cfg, T, B)
+    if w == 0:
+        raise ValueError("pallas lstm kernel: no tile width fits")
+    nt = B // w
+    L, Hp = cfg.num_layers, _pad8(cfg.hidden_size)
+    weights = eparams["weights"]
+
+    state_spec = pl.BlockSpec((L, Hp, w), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_kernel(cfg, T, w),
+        grid=(nt,),
+        in_specs=[pl.BlockSpec((cfg.in_channels, T, w), lambda i: (0, 0, i), memory_space=pltpu.VMEM)]
+        + [
+            pl.BlockSpec(wt.shape, (lambda i, nd=wt.ndim: (0,) * nd), memory_space=pltpu.VMEM)
+            for wt in weights
+        ]
+        + [state_spec, state_spec],
+        out_specs=[
+            pl.BlockSpec((cfg.out_channels, T, w), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((cfg.out_channels, T, B), jnp.float32),
+            jax.ShapeDtypeStruct((L, Hp, B), jnp.float32),
+            jax.ShapeDtypeStruct((L, Hp, B), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((Hp, T, w), jnp.float32)],
+        # h/c update in place (inputs 1+len(weights), +1 -> outputs 1, 2)
+        input_output_aliases={1 + len(weights): 1, 2 + len(weights): 2},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=INTERPRET,
+    )(x, *weights, state["h"], state["c"])
+    y, h, c = out
+    return y, {"h": h, "c": c}

@@ -192,42 +192,52 @@ def dp_sharded_pallas_engine_step(engine, mesh: Mesh, axis: str = STREAM_AXIS):
     dp_sharded_engine_step: step(eparams, state, x_ctb[C,T,B_global]) ->
     (y_ctb, state'); state leaves are global jax.Arrays sharded over `axis`.
     """
-    from ..ops.pallas import stack as _stack
+    from ..ops.pallas import backend_for
 
     if getattr(engine, "kernel", None) != "pallas":
         raise ValueError("engine is not on the pallas tier")
     cfg = engine.model.config
+    backend = backend_for(cfg)
     T = engine.block_size
     n = mesh.shape[axis]
     B = engine.batch
     if B % n != 0:
         raise ValueError(f"batch {B} not divisible by {n} devices on axis {axis!r}")
     Bl = B // n
-    reason = _stack.supports(cfg, T, Bl)
+    reason = backend.supports(cfg, T, Bl)
     if reason is not None:
         raise ValueError(
-            f"pallas stack kernel does not support the per-device batch {Bl}: {reason}"
+            f"pallas kernel does not support the per-device batch {Bl}: {reason}"
         )
 
     # Local plan defines the state layout; the global state is n local states
     # stacked along the grid-tile axis. Initial leaves are uniform across
-    # streams (zero rings/tails; condition sub-state broadcasts per stream),
-    # so tiling the local state n times along its shard axis is exact.
-    eparams_l, state_l = _stack.prepare(cfg, engine.model.params, T, Bl)
+    # streams (zero rings/tails; broadcast h0/c0 / condition sub-state), so
+    # tiling the local state n times along its shard axis is exact.
+    eparams_l, state_l = backend.prepare(cfg, engine.model.params, T, Bl)
 
-    def cond_spec(leaf):
+    def trailing_spec(leaf):
         nd = np.ndim(leaf)
         if nd >= 1 and np.shape(leaf)[-1] == Bl:
             return P(*([None] * (nd - 1)), axis)
         return P()
 
-    specs = {
-        "rings": [P(None, axis, None, None) for _ in state_l["rings"]],
-        "tails": [P(axis, None, None) for _ in state_l["tails"]],
-        "n": P(),
-    }
-    if "condition" in state_l:
-        specs["condition"] = jax.tree_util.tree_map(cond_spec, state_l["condition"])
+    if "rings" in state_l:
+        # Fused WaveNet stack: the stream batch is folded into grid tiles —
+        # rings (M, nt, C, T*W) shard on the tile axis, tails (nt, C, rf*W)
+        # on their leading axis; the pre-pass condition subtree (engine CTB
+        # layout) shards its trailing stream axis.
+        specs = {
+            "rings": [P(None, axis, None, None) for _ in state_l["rings"]],
+            "tails": [P(axis, None, None) for _ in state_l["tails"]],
+            "n": P(),
+        }
+        if "condition" in state_l:
+            specs["condition"] = jax.tree_util.tree_map(trailing_spec, state_l["condition"])
+    else:
+        # LSTM kernel state (h/c: (L, H, B)) and any other trailing-stream
+        # layout: shard the trailing axis.
+        specs = jax.tree_util.tree_map(trailing_spec, state_l)
 
     def tile_global(leaf, spec):
         sharded_axes = [i for i, s in enumerate(spec) if s is not None]
@@ -244,7 +254,7 @@ def dp_sharded_pallas_engine_step(engine, mesh: Mesh, axis: str = STREAM_AXIS):
     eparams = jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), eparams_l)
 
     def local_step(ep, st, x_local):
-        return _stack.step(cfg, T, ep, st, x_local)
+        return backend.step(cfg, T, ep, st, x_local)
 
     xspec = P(None, None, axis)
     fn = jax.jit(

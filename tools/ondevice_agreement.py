@@ -64,6 +64,15 @@ def models():
     out.append(("A2_standard", a2b.active_model))
     out.append(("post_head", nam.load_model(make_nam("WaveNet", POST_HEAD_CONFIG, seed=11))))
     out.append(("depthwise", nam.load_model(make_nam("WaveNet", DEPTHWISE_CONFIG, seed=12))))
+    out.append(("lstm", nam.load_model(os.path.join(EXAMPLE_MODELS, "lstm.nam"))))
+    out.append((
+        "lstm_2x8",
+        nam.load_model(make_nam(
+            "LSTM",
+            {"num_layers": 2, "input_size": 1, "hidden_size": 8, "out_channels": 1},
+            seed=13,
+        )),
+    ))
     return out
 
 
@@ -76,14 +85,14 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from neuralampmodelercore_tpu.models.engine import StreamEngine
-    from neuralampmodelercore_tpu.ops.pallas import stack
+    from neuralampmodelercore_tpu.ops.pallas import backend_for
 
     T = args.block_size
     ok = True
     for B in (int(b) for b in args.batches.split(",")):
         for name, model in models():
             model.prewarm_on_reset = False
-            reason = stack.supports(model.config, T, B)
+            reason = backend_for(model.config).supports(model.config, T, B)
             if reason is not None:
                 print(f"SKIP {name:22s} B={B}: {reason}", flush=True)
                 continue
