@@ -96,14 +96,16 @@ def prepare(cfg, params, T: int, batch: int):
         w = np.asarray(lp["w"]).T  # (4H, I+H), rows i,f,g,o
         b = np.asarray(lp["b"])
         cols = cfg.in_channels if li == 0 else Hp  # layer 0 reads x, rest read h
+        # All four gates in ONE (4Hp)-row operand: one x-dot + one h-dot per
+        # step, and the per-gate slices land on 8-row sublane boundaries.
+        wx = np.zeros((4 * Hp, cols), np.float32)
+        wh = np.zeros((4 * Hp, Hp), np.float32)
+        bg = np.zeros((4 * Hp, 1), np.float32)
         for gi in range(4):
-            wx = np.zeros((Hp, cols), np.float32)
-            wh = np.zeros((Hp, Hp), np.float32)
-            wx[:H, :isz] = w[gi * H : (gi + 1) * H, :isz]
-            wh[:H, :H] = w[gi * H : (gi + 1) * H, isz:]
-            bg = np.zeros((Hp, 1), np.float32)
-            bg[:H, 0] = b[gi * H : (gi + 1) * H]
-            weights += [jnp.asarray(wx), jnp.asarray(wh), jnp.asarray(bg)]
+            wx[gi * Hp : gi * Hp + H, :isz] = w[gi * H : (gi + 1) * H, :isz]
+            wh[gi * Hp : gi * Hp + H, :H] = w[gi * H : (gi + 1) * H, isz:]
+            bg[gi * Hp : gi * Hp + H, 0] = b[gi * H : (gi + 1) * H]
+        weights += [jnp.asarray(wx), jnp.asarray(wh), jnp.asarray(bg)]
     hw = np.zeros((cfg.out_channels, Hp), np.float32)
     hw[:, :H] = np.asarray(params["head_w"]).T
     hb = np.asarray(params["head_b"]).reshape(cfg.out_channels, 1)
@@ -143,27 +145,26 @@ def _make_kernel(cfg, T: int, w: int):
 
     def kernel(*refs):
         x_ref = refs[0]
-        wr = refs[1 : 1 + 12 * L + 2]
-        h_ref, c_ref = refs[1 + 12 * L + 2], refs[2 + 12 * L + 2]
-        y_ref, ho_ref, co_ref = refs[3 + 12 * L + 2 : 6 + 12 * L + 2]
-        hall = refs[6 + 12 * L + 2]
+        wr = refs[1 : 1 + 3 * L + 2]
+        h_ref, c_ref = refs[1 + 3 * L + 2], refs[2 + 3 * L + 2]
+        y_ref, ho_ref, co_ref = refs[3 + 3 * L + 2 : 6 + 3 * L + 2]
+        hall = refs[6 + 3 * L + 2]
 
         h = [h_ref[l] for l in range(L)]
         c = [c_ref[l] for l in range(L)]
         for t in range(T):
             inp = x_ref[:, t]  # (Cin, w)
             for l in range(L):
-                base = 12 * l
-                zi = _gdot(wr[base + 0][:], inp) + _gdot(wr[base + 1][:], h[l]) + wr[base + 2][:]
-                zf = _gdot(wr[base + 3][:], inp) + _gdot(wr[base + 4][:], h[l]) + wr[base + 5][:]
-                zg = _gdot(wr[base + 6][:], inp) + _gdot(wr[base + 7][:], h[l]) + wr[base + 8][:]
-                zo = _gdot(wr[base + 9][:], inp) + _gdot(wr[base + 10][:], h[l]) + wr[base + 11][:]
+                wx, wh, b = wr[3 * l][:], wr[3 * l + 1][:], wr[3 * l + 2][:]
+                z = _gdot(wx, inp) + _gdot(wh, h[l]) + b  # (4Hp, w)
+                zi, zf = z[0:Hp], z[Hp : 2 * Hp]
+                zg, zo = z[2 * Hp : 3 * Hp], z[3 * Hp :]
                 c[l] = sig(zf) * c[l] + sig(zi) * th(zg)
                 h[l] = sig(zo) * th(c[l])
                 inp = h[l]
             hall[:, t] = inp
         # head over the whole block in one dot (O, Hp) x (Hp, T*w)
-        y = _gdot(wr[12 * L][:], hall[:].reshape(Hp, T * w)) + wr[12 * L + 1][:]
+        y = _gdot(wr[3 * L][:], hall[:].reshape(Hp, T * w)) + wr[3 * L + 1][:]
         y_ref[:] = y.reshape(O, T, w)
         for l in range(L):
             ho_ref[l] = h[l]
