@@ -136,9 +136,10 @@ def _snr_check(model, candidate: str) -> float:
 # None, starting batch for the doubling ladder). Kernel tier is whatever
 # "auto" picks and is recorded per config in the output: every WaveNet —
 # including the condition-DSP models a2_max and condition_dsp, whose
-# condition chains now FUSE into the kernel (ops/pallas/stack.py
-# _fused_chain, round 3) — runs the fused Pallas kernel with f32-exact dots;
-# only the LSTM runs the XLA engine tier at the gated precision.
+# condition chains FUSE into the kernel (ops/pallas/stack.py _fused_chain,
+# round 3) — runs the fused Pallas stack kernel, and the LSTM runs the
+# fused Pallas LSTM kernel (ops/pallas/lstm.py, 1.3-1.7x over the XLA
+# scan); all pallas dots are pinned f32-exact.
 SECONDARY = [
     ("lstm", "/root/reference/example_models/lstm.nam", None, 16384),
     ("wavenet_a2_max", "/root/reference/example_models/wavenet_a2_max.nam", None, 2048),
