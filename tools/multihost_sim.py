@@ -131,6 +131,44 @@ def worker(pid: int) -> int:
     print(f"[proc {pid}] streaming time-SP with cross-host halo hop: "
           f"max abs err = {worst_sp:.2e}", flush=True)
     assert worst_sp < 1e-5
+
+    # ---- 3. FUSED PALLAS kernel DP across both hosts (interpret mode) -------
+    # The production kernel under shard_map with shards owned by DIFFERENT
+    # processes — the "4096/chip x N chips" axis at the multi-host level
+    # (parallel/sharding.py dp_sharded_pallas_engine_step).
+    from neuralampmodelercore_tpu.models.engine import StreamEngine
+    from neuralampmodelercore_tpu.ops.pallas import stack as _stack
+    from neuralampmodelercore_tpu.parallel.sharding import dp_sharded_engine_step
+
+    _stack.INTERPRET = True
+    try:
+        Bp, Tp = 128 * n_global, 8
+        peng = StreamEngine(model, batch=Bp, block_size=Tp, kernel="pallas")
+        pparams, pstate, pstep = dp_sharded_engine_step(peng, mesh)
+        pxsh = NamedSharding(mesh, P(None, None, STREAM_AXIS))
+        ust = peng.reset(prewarm=False)
+        rng_p = np.random.default_rng(7)  # same stream on both processes
+        worst_p = 0.0
+        Bl = Bp // N_PROC
+        for i in range(2):
+            blk = (rng_p.standard_normal((Bp, Tp)) * 0.3).astype(np.float32)
+            local = blk.T[None][:, :, pid * Bl : (pid + 1) * Bl]  # (1, Tp, Bl)
+            xg = jax.make_array_from_process_local_data(pxsh, local)
+            y, pstate = pstep(pparams, pstate, xg)
+            yu, ust = peng.process(blk, ust)  # unsharded local reference
+            mine = np.asarray(yu).T[None]  # (1, Tp, Bp), this host's view
+            worst_p = max(
+                worst_p,
+                max(
+                    float(np.abs(np.asarray(s.data) - mine[:, :, s.index[2]]).max())
+                    for s in y.addressable_shards
+                ),
+            )
+        print(f"[proc {pid}] sharded-PALLAS DP across {N_PROC} hosts: "
+              f"max abs err vs unsharded kernel = {worst_p:.2e}", flush=True)
+        assert worst_p < 1e-5
+    finally:
+        _stack.INTERPRET = False
     return 0
 
 
