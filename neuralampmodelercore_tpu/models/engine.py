@@ -75,7 +75,7 @@ class StreamEngine:
             ):
                 use_pallas = True
             elif kernel == "pallas":
-                raise ValueError(f"pallas stack kernel does not support this model: {reason}")
+                raise ValueError(f"pallas kernel does not support this model: {reason}")
         if use_pallas:
             prepare_fn, step_fn = _backend.prepare, _backend.step
             self.kernel = "pallas"

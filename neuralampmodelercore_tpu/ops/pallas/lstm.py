@@ -37,12 +37,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import activations as act
-from .stack import SUBLANE, VMEM_BUDGET, VMEM_LIMIT, W_TILE, _pad8
+from .stack import (
+    SUBLANE,
+    VMEM_BUDGET,
+    VMEM_LIMIT,
+    W_TILE,
+    _pad8,
+    _small_dot,
+)
 
 # Interpret mode for CPU testing (tests set this).
 INTERPRET = False
-
-DOT_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def supports(cfg, T: int, batch: int) -> Optional[str]:
@@ -68,13 +73,11 @@ def supports(cfg, T: int, batch: int) -> Optional[str]:
 
 def _tile_bytes(cfg, T: int, w: int) -> int:
     Hp = _pad8(cfg.hidden_size)
-    rows = (
-        cfg.in_channels  # x block
-        + cfg.out_channels  # y block
-        + Hp  # h_all scratch
-    )
+    io_rows = cfg.in_channels + cfg.out_channels  # x/y grid blocks
     state = 2 * cfg.num_layers * Hp * w * 4  # h + c carries
-    return 2 * rows * T * w * 4 + state  # x/y double-buffered
+    # x/y are double-buffered by the grid pipeline; the h_all scratch (Hp
+    # rows) and the carries are single VMEM allocations.
+    return (2 * io_rows + Hp) * T * w * 4 + state
 
 
 def _pick_w(cfg, T: int, batch: int) -> int:
@@ -121,18 +124,9 @@ def prepare(cfg, params, T: int, batch: int):
     return {"weights": weights}, state
 
 
-def _gdot(w, x):
-    """(O, S) x (S, N) with a broadcast-sum for tiny contractions."""
-    S = w.shape[1]
-    if S <= 4:
-        y = w[:, 0:1] * x[0:1, :]
-        for s in range(1, S):
-            y = y + w[:, s : s + 1] * x[s : s + 1, :]
-        return y
-    return jax.lax.dot_general(
-        w, x, (((1,), (0,)), ((), ())),
-        precision=DOT_PRECISION, preferred_element_type=jnp.float32,
-    )
+# (O, S) x (S, N): the stack kernel's broadcast-sum-for-tiny-S dot, falling
+# back to an f32-exact MXU dot (stack.DOT_PRECISION) for larger S.
+_gdot = _small_dot
 
 
 def _make_kernel(cfg, T: int, w: int):
