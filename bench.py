@@ -140,6 +140,30 @@ def _snr_check(model, candidate: str) -> float:
 # round 3) — runs the fused Pallas stack kernel, and the LSTM runs the
 # fused Pallas LSTM kernel (ops/pallas/lstm.py, 1.3-1.7x over the XLA
 # scan); all pallas dots are pinned f32-exact.
+def _convnet_doc():
+    """Realistic amp-sized ConvNet (channels=16, dilations 1..512, folded
+    BatchNorm) from the generator — the reference corpus ships no ConvNet
+    .nam, but benchmodel runs on any architecture
+    (tools/benchmodel.cpp:103-143)."""
+    from neuralampmodelercore_tpu.tools import generate
+
+    return generate.make_nam(
+        "ConvNet",
+        {"channels": 16, "dilations": [1, 2, 4, 8, 16, 32, 64, 128, 256, 512],
+         "batchnorm": True, "activation": "Tanh"},
+        seed=7,
+    )
+
+
+def _linear_ir64k_doc():
+    """65,536-tap Linear FIR — exercises the zero-latency partitioned-FFT
+    engine tier (models/linear.py) at long-IR scale."""
+    from neuralampmodelercore_tpu.tools import generate
+
+    return generate.make_nam("Linear", {"receptive_field": 65536, "bias": True}, seed=7)
+
+
+# Model source is a path or a zero-arg callable returning a .nam JSON dict.
 SECONDARY = [
     ("lstm", "/root/reference/example_models/lstm.nam", None, 16384),
     ("wavenet_a2_max", "/root/reference/example_models/wavenet_a2_max.nam", None, 2048),
@@ -147,6 +171,8 @@ SECONDARY = [
     ("A2_nano", "/root/reference/example_models/A2.nam", 0.3, 2048),
     ("A2_standard", "/root/reference/example_models/A2.nam", 1.0, 2048),
     ("slimmable_wavenet_w1.0", "/root/reference/example_models/slimmable_wavenet.nam", 1.0, 4096),
+    ("convnet", _convnet_doc, None, 1024),
+    ("linear_ir64k", _linear_ir64k_doc, None, 2048),
 ]
 
 # Each probe = one fresh engine compile (~60-80 s over the TPU tunnel); the
@@ -159,6 +185,15 @@ SECONDARY = [
 # lower bounds (VERDICT r2 ask #3).
 SECONDARY_MAX_PROBES = 4
 SECONDARY_REFINE_PROBES = 3
+
+
+def _rt_ok(stats, deadline):
+    """Real-time acceptance: p99-SAFE, not just p50-safe (VERDICT r3 ask #3).
+    p99 here is the worst of the 3 sustained repeats, so every claimed count
+    has a non-negative p99 deadline margin by construction — a count whose
+    p99 block overruns the deadline is a periodic audible xrun, not a
+    real-time stream count."""
+    return stats["sustained"] <= deadline and stats["p99"] <= deadline
 
 
 def _margin_fields(stats, deadline):
@@ -191,7 +226,7 @@ def _refine(bench, lo_B, lo_stats, hi_B, deadline, max_probes, gc, label=""):
             finally:
                 gc.collect()
             probes += 1
-            rt = stats["sustained"] <= deadline and stats["p50"] <= deadline * 1.5
+            rt = _rt_ok(stats, deadline)
             print(
                 f"# refine {label} B={mid}: sustained={stats['sustained']*1e6:.0f}us rt={rt}",
                 file=sys.stderr,
@@ -207,7 +242,7 @@ def _bench_secondary(nam, gc):
     """Adaptive real-time ladder + bounded refinement per secondary config."""
     results = {}
     for name, path, slim, start_B in SECONDARY:
-        model = nam.load_model(path)
+        model = nam.load_model(path() if callable(path) else path)
         if slim is not None:
             model.set_slimmable_size(slim)
         active = getattr(model, "active_model", model)
@@ -226,7 +261,7 @@ def _bench_secondary(nam, gc):
                 break
             finally:
                 gc.collect()
-            rt = stats["sustained"] <= deadline and stats["p50"] <= deadline * 1.5
+            rt = _rt_ok(stats, deadline)
             print(f"# {name} B={B}: p50={stats['p50']*1e6:.0f}us rt={rt}", file=sys.stderr)
             if rt:
                 best_B, best_stats = B, stats
@@ -258,6 +293,48 @@ def _bench_secondary(nam, gc):
         else:
             results[name] = {"streams": 0, "block": BLOCK}
     return results
+
+
+def _write_table(out):
+    """Emit the README performance table from the measured result, so
+    README/docs numbers cannot drift from the bench artifact (VERDICT r3 ask
+    #4): bench.py writes BENCH_TABLE.md; tools/sync_readme_bench.py splices
+    it into README.md between the BENCH markers, and a test asserts the
+    README block matches the committed table."""
+    lines = [
+        "| config | real-time streams/chip | block | p50 | p99 margin | kernel |",
+        "|---|---|---|---|---|---|",
+    ]
+
+    def row(name, streams, block, p50_us, margin, kernel):
+        lines.append(
+            f"| {name} | **{streams:,}** | {block} | {p50_us:.0f} µs | "
+            f"{margin:+.1f}% | {kernel} |"
+        )
+
+    row("wavenet_a1_standard (headline)", out["value"], out.get("block", "?"),
+        out.get("p50_block_us", 0.0), out.get("p99_margin_pct", 0.0),
+        out.get("kernel", "?"))
+    for name, m in out.get("models", {}).items():
+        if not m.get("streams"):
+            lines.append(f"| {name} | (not real-time at any probed batch) | | | | |")
+            continue
+        row(name, m["streams"], m["block"], m.get("p50_us", 0.0),
+            m.get("p99_margin_pct", 0.0), m.get("kernel", "?"))
+    farm = out.get("farm")
+    if farm:
+        lines.append("")
+        lines.append(
+            f"Host dataplane at the headline point: p50 {farm['host_p50_us']:.0f} µs "
+            f"vs deadline {out.get('deadline_us', 0):.0f} µs — projected real-time: "
+            f"{'yes' if farm.get('projected_realtime') else 'NO'} "
+            f"({farm.get('streams_fed_per_block', 0):.0f} streams fed/block)."
+        )
+    try:
+        with open("/root/repo/BENCH_TABLE.md", "w") as f:
+            f.write("\n".join(lines) + "\n")
+    except OSError as e:  # read-only checkout etc. — table is advisory
+        print(f"# could not write BENCH_TABLE.md: {e}", file=sys.stderr)
 
 
 def main():
@@ -314,7 +391,7 @@ def main():
                 break
             finally:
                 gc.collect()
-            rt = stats["sustained"] <= deadline and stats["p50"] <= deadline * 1.5
+            rt = _rt_ok(stats, deadline)
             print(
                 f"# T={block} B={B}: p50={stats['p50']*1e6:.0f}us "
                 f"sustained={stats['sustained']*1e6:.0f}us deadline={deadline*1e6:.0f}us rt={rt}",
@@ -345,7 +422,7 @@ def main():
                         break
                     finally:
                         gc.collect()
-                    rt = stats["sustained"] <= deadline and stats["p50"] <= deadline * 1.5
+                    rt = _rt_ok(stats, deadline)
                     print(
                         f"# refine T={block} B={mid}: sustained={stats['sustained']*1e6:.0f}us rt={rt}",
                         file=sys.stderr,
@@ -432,6 +509,7 @@ def main():
             )
         except Exception as e:
             print(f"# farm bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    _write_table(out)
     print(json.dumps(out))
 
 
@@ -456,11 +534,11 @@ def _watchdog_main():
             text=True,
         )
         try:
-            # The full schedule (2 flagship ladders + 6 per-config sweeps,
+            # The full schedule (2 flagship ladders + 8 per-config sweeps,
             # each probe a fresh compile over the tunnel) measures ~35-45
             # min cold; retries are much faster via the persistent
             # compilation cache.
-            out, _ = proc.communicate(timeout=4500)
+            out, _ = proc.communicate(timeout=5400)
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait()

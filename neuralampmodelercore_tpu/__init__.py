@@ -116,3 +116,18 @@ def load_model(
 
 # The reference's name for model loading (NAM/get_dsp.h:84-114).
 get_dsp = load_model
+
+
+def get_dsp_legacy(dirname: Union[str, os.PathLike]):
+    """Legacy directory-format loader (reference: NAM/dsp.h:360-368).
+
+    The reference *declares* ``get_dsp_legacy(dirname)`` but ships no
+    definition — any caller fails at link time. This raises the equivalent
+    loud error at call time instead; the directory format predates the
+    single-file ``.nam`` format that ``load_model`` handles.
+    """
+    raise NotImplementedError(
+        f"get_dsp_legacy({os.fspath(dirname)!r}): the legacy directory model format is "
+        "not supported (the reference declares this loader in NAM/dsp.h:368 but ships "
+        "no implementation). Convert the model to a single-file .nam and use load_model()."
+    )

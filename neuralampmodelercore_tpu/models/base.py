@@ -198,6 +198,7 @@ class Model:
         NOTE: ``state`` is CONSUMED (its buffers are donated to the step for
         in-place updates — the allocation-free contract). Always continue
         with the returned state; reusing a consumed state raises."""
+        want64 = getattr(x, "dtype", None) == jnp.float64
         x = jnp.asarray(x, dtype=jnp.float32)
         squeeze = False
         if x.ndim == 2:
@@ -206,6 +207,13 @@ class Model:
         y, state = self._jitted_step(self.params, state, x)
         if squeeze and y.shape[-1] == 1:
             y = y[..., 0]
+        if want64:
+            # NAM_SAMPLE=double I/O surface (reference: NAM/dsp.h:18-22):
+            # float64 in -> float64 out. Internal math stays float32 on both
+            # sides of the boundary here (docs/deviations.md #1); the output
+            # cast is a real widen only under jax_enable_x64 (without it JAX
+            # keeps float32, matching the reference's NAM_SAMPLE_FLOAT build).
+            y = y.astype(jnp.float64)
         return y, state
 
     def render(self, x: Any, batch_is_leading: bool = True, prewarm: bool = True):
@@ -213,8 +221,11 @@ class Model:
         process the whole signal in one traced call (block-size invariance
         guarantees equivalence with streaming; see tests).
 
-        x: (T,), (B, T), or (B, T, C). Returns same rank.
+        x: (T,), (B, T), or (B, T, C). Returns same rank. float64 input
+        yields float64 output (the NAM_SAMPLE=double I/O surface; see
+        ``process``).
         """
+        want64 = getattr(x, "dtype", None) == jnp.float64
         x = jnp.asarray(x, dtype=jnp.float32)
         orig_ndim = x.ndim
         if x.ndim == 1:
@@ -229,6 +240,8 @@ class Model:
                 zeros = jnp.zeros((batch, n, self.num_input_channels), dtype=jnp.float32)
                 _, state = self._jitted_step(self.params, state, zeros)
         y, _ = self._jitted_step(self.params, state, x)
+        if want64:
+            y = y.astype(jnp.float64)
         if orig_ndim == 1:
             return y[0, :, 0]
         if orig_ndim == 2:

@@ -229,3 +229,29 @@ def test_register_external_architecture(tmp_path):
     state = m.reset(1)
     y, _ = m.process(np.ones((1, 8), np.float32), state)
     np.testing.assert_allclose(np.asarray(y), 2.0)
+
+
+def test_get_dsp_legacy_raises_with_pointer():
+    """The reference declares get_dsp_legacy(dirname) but ships no definition
+    (NAM/dsp.h:368) — callers fail at link time. We fail at call time with a
+    pointer to the supported path."""
+    with pytest.raises(NotImplementedError, match="load_model"):
+        nam.get_dsp_legacy("/some/model/dir")
+
+
+def test_float64_io_surface():
+    """NAM_SAMPLE=double I/O (reference: NAM/dsp.h:18-22): float64 in ->
+    float64 out, numerically identical to the float32 path (internal math is
+    float32 either way, docs/deviations.md #1)."""
+    import jax
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    m.prewarm_on_reset = False
+    x32 = (np.linspace(-0.5, 0.5, 128, dtype=np.float32)).reshape(1, -1)
+    y32 = np.asarray(m.process(x32, m.init_state(1))[0])
+    with jax.enable_x64():
+        y64, _ = m.process(x32.astype(np.float64), m.init_state(1))
+        assert y64.dtype == np.float64
+        r64 = m.render(x32[0].astype(np.float64))
+        assert r64.dtype == np.float64
+    np.testing.assert_allclose(np.asarray(y64, np.float32), y32, atol=0)

@@ -81,6 +81,26 @@ def test_no_retrace_steady_state():
     assert step._cache_size() == before, "process() retraced in steady state"
 
 
+def test_retrace_detector_detects():
+    """Prove the retrace detector DETECTS: a deliberate shape change must
+    grow the jit cache the counter reads — the analog of the reference's
+    allocation-tracker `_fail` self-tests (tools/run_tests.cpp:164,210),
+    which assert the malloc interposition itself works before trusting the
+    allocation-free assertions."""
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    m.prewarm_on_reset = False
+    state = m.init_state(4)
+    _, state = m.process(np.zeros((4, 64), np.float32), state)
+    step = m.step_fn()
+    before = step._cache_size()
+    # New block length = new traced shape: the counter MUST move.
+    state2 = m.init_state(4)
+    m.process(np.zeros((4, 32), np.float32), state2)
+    assert step._cache_size() > before, (
+        "retrace detector failed to count a deliberate shape-change retrace"
+    )
+
+
 def test_batched_streams_independent():
     """Streams in a batch are independent: batched processing equals
     per-stream processing (the DP axis contract, SURVEY.md §2.7)."""

@@ -416,3 +416,16 @@ def test_missing_nam_keys_raise_value_error():
         parse_nam_json({"architecture": "Linear", "config": {}, "weights": []})
     with pytest.raises(ValueError, match="missing architecture"):
         parse_nam_json({"version": "0.5.4", "config": {}, "weights": []})
+
+
+def test_readme_bench_table_in_sync():
+    """README's bench block must match the committed BENCH_TABLE.md (both are
+    generated from the bench artifact; tools/sync_readme_bench.py --check).
+    Numbers drifting between README and the bench artifact was VERDICT r3
+    ask #4."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "sync_readme_bench.py"), "--check"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
