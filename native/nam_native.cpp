@@ -370,9 +370,153 @@ int64_t nam_pool_push_all_tb(NamRingPool* p, const float* in_tb)
   return ok;
 }
 
+// ===========================================================================
+// Epoch mailbox: zero-copy dataplane for the stream farm
+// ===========================================================================
+//
+// Round-3 measurement: the RingPool dataplane's fused assembly/demux passes
+// run on the single dispatch thread and cost 5.6 ms/block at B=4096/T=128 —
+// over the 2.67 ms audio deadline (BENCH_r03.json farm section). The fix is
+// architectural: stop doing per-block layout work on the dispatch thread at
+// all.
+//
+//   - Producers (audio threads) write their block DIRECTLY into the device
+//     layout: slab[epoch % depth] is a (C, T, B) float array and stream s
+//     owns column s. The transpose cost rides the many producer threads,
+//     where it parallelizes; the per-column write touches the same total
+//     bytes the old assembly pass did.
+//   - Silent streams cost nothing on the host: each (slot, stream) cell
+//     carries the epoch that last wrote it; dispatch builds a B-float
+//     {0,1} mask from those flags (one acquire load per stream) and the
+//     DEVICE multiplies the input by the mask — stale column data is
+//     finite old audio, so masked columns are exact zeros.
+//   - Demux is publication: the fetched (C, T, B) output array is handed to
+//     consumers by reference; each consumer reads its own column.
+//
+// The dispatch thread's per-block host work collapses to the flag scan
+// (~B loads) plus the H2D enqueue. Ordering: producers write data, then
+// store the cell flag with release; the dispatch scan loads with acquire.
+// A producer that lagged behind the real-time epoch cursor catches up via
+// next_epoch (its stale write lands in a slot whose flag no longer matches,
+// so the mask zeroes it — a late block is a dropped block, as in any
+// real-time system, and the fed count makes it observable).
+
+struct NamMailbox
+{
+  int64_t n_streams;   // B
+  int64_t depth;       // slots (power of two)
+  int64_t block_floats; // C*T floats per stream per block
+  std::vector<float> slabs;                  // depth * (C*T, B)
+  std::vector<std::atomic<int64_t>> filled;  // (slot, stream) -> epoch, else -1
+  std::vector<std::atomic<int64_t>> seq;     // per-stream next epoch to write
+  std::atomic<int64_t> next_epoch{0};        // next epoch dispatch will assemble
+  std::atomic<int64_t> consumed{-1};         // newest epoch whose slab is free
+
+  NamMailbox(int64_t b, int64_t d, int64_t bf)
+    : n_streams(b), depth(d), block_floats(bf),
+      slabs((size_t)(d * bf * b), 0.0f), filled((size_t)(d * b)), seq((size_t)b)
+  {
+    for (auto& f : filled)
+      f.store(-1, std::memory_order_relaxed);
+    for (auto& s : seq)
+      s.store(0, std::memory_order_relaxed);
+  }
+
+  float* slab(int64_t epoch) { return slabs.data() + (epoch & (depth - 1)) * block_floats * n_streams; }
+};
+
+NamMailbox* nam_mbox_create(int64_t n_streams, int64_t depth, int64_t block_floats)
+{
+  int64_t d = 1;
+  while (d < depth)
+    d <<= 1;
+  return new NamMailbox(n_streams, d, block_floats);
+}
+
+void nam_mbox_destroy(NamMailbox* m)
+{
+  delete m;
+}
+
+float* nam_mbox_slab_ptr(NamMailbox* m, int64_t slot)
+{
+  return m->slabs.data() + slot * m->block_floats * m->n_streams;
+}
+
+// Producer: write stream s's next block (C*T floats, channel-major) into its
+// column of the current epoch's slab. Returns the epoch written, or -1 if
+// the mailbox is full (producer more than depth-1 epochs ahead — cannot
+// happen for real-time producers, which instead catch UP via next_epoch).
+int64_t nam_mbox_push(NamMailbox* m, int64_t stream, const float* block)
+{
+  const int64_t B = m->n_streams;
+  int64_t e = m->seq[stream].load(std::memory_order_relaxed);
+  const int64_t next = m->next_epoch.load(std::memory_order_acquire);
+  if (e < next) // lagged: a block for an already-assembled epoch would be
+    e = next;   // masked out anyway; deliver into the next live epoch
+  if (e - m->consumed.load(std::memory_order_acquire) > m->depth - 1)
+    return -1;
+  float* col = m->slab(e) + stream;
+  for (int64_t t = 0; t < m->block_floats; t++)
+    col[t * B] = block[t];
+  m->filled[(e & (m->depth - 1)) * B + stream].store(e, std::memory_order_release);
+  m->seq[stream].store(e + 1, std::memory_order_relaxed);
+  return e;
+}
+
+// Bulk producer: (n, C*T) blocks for streams [first, first+n) — one feeder
+// thread's stripe. Column-tiled so writes stay cache-resident.
+int64_t nam_mbox_push_range(NamMailbox* m, int64_t first, int64_t n, const float* blocks)
+{
+  int64_t ok = 0;
+  for (int64_t s = 0; s < n; s++)
+  {
+    if (nam_mbox_push(m, first + s, blocks + s * m->block_floats) >= 0)
+      ok++;
+  }
+  return ok;
+}
+
+// Dispatch: scan epoch e's fill flags into a {0,1} float mask; returns the
+// number of streams fed. Publishes e+1 as the next live epoch first, so
+// producers that catch up land in a future epoch, never a consumed one.
+int64_t nam_mbox_assemble(NamMailbox* m, int64_t epoch, float* mask_out)
+{
+  m->next_epoch.store(epoch + 1, std::memory_order_release);
+  const int64_t B = m->n_streams;
+  const std::atomic<int64_t>* f = m->filled.data() + (epoch & (m->depth - 1)) * B;
+  int64_t fed = 0;
+  for (int64_t s = 0; s < B; s++)
+  {
+    const bool hit = f[s].load(std::memory_order_acquire) == epoch;
+    mask_out[s] = hit ? 1.0f : 0.0f;
+    fed += hit;
+  }
+  return fed;
+}
+
+void nam_mbox_mark_consumed(NamMailbox* m, int64_t epoch)
+{
+  m->consumed.store(epoch, std::memory_order_release);
+}
+
+int64_t nam_mbox_next_epoch(NamMailbox* m)
+{
+  return m->next_epoch.load(std::memory_order_acquire);
+}
+
+// Consumer: gather stream s's column from a published (C*T, B) output array.
+void nam_mbox_gather(const float* out_tb, int64_t b, int64_t block_floats, int64_t stream,
+                     float* dst)
+{
+  const float* col = out_tb + stream;
+  for (int64_t t = 0; t < block_floats; t++)
+    dst[t] = col[t * b];
+}
+
 int nam_native_abi_version()
 {
-  return 2;
+  return 3;
 }
 
 // Embedded marker so the Python loader can check the on-disk library's ABI

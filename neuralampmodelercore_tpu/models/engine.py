@@ -43,8 +43,39 @@ class StreamEngine:
         # (ops/pallas/stack.py, VMEM-resident layer pipeline); "xla" = the
         # per-op compiled step (models/wavenet.py engine_step). "auto" takes
         # pallas whenever the config qualifies and we're actually on TPU.
-        if kernel not in ("auto", "pallas", "xla"):
-            raise ValueError(f"kernel must be auto|pallas|xla, got {kernel!r}")
+        if kernel not in ("auto", "pallas", "xla", "wavefront"):
+            raise ValueError(f"kernel must be auto|pallas|xla|wavefront, got {kernel!r}")
+        #: Blocks of extra output latency vs the generic step (nonzero only
+        #: for the wavefront tier).
+        self.pipeline_blocks = 0
+        if kernel == "wavefront":
+            # Opt-in XLA tier with block-diagonal cross-layer M-packing
+            # (models/wavefront.py): trades ONE block of uniform output
+            # latency for fuller MXU rows on the eligible (flagship-family)
+            # configs. Never chosen by "auto" — its in-kernel analog
+            # measured slower than the fused Pallas kernel on v5e
+            # (ops/pallas/stack.py WAVEFRONT note); the tier exists for
+            # hardware where the packing wins and as the measured design
+            # the kernel experiment was ported from.
+            from . import wavefront as _wf
+
+            reason = _wf.wavefront_ineligible_reason(model.config)
+            if reason is not None:
+                raise ValueError(f"wavefront tier does not support this model: {reason}")
+            groups = 8 if self.batch % 8 == 0 else 4 if self.batch % 4 == 0 else 1
+            self._prepare_fn = lambda cfg, params, T, batch: _wf.wavefront_prepare(
+                cfg, params, T, batch, groups
+            )
+            self._eparams, self._state0 = self._prepare_fn(
+                model.config, model.params, self.block_size, self.batch
+            )
+            self._jitted_step = jax.jit(
+                partial(_wf.wavefront_step, model.config, self.block_size, groups),
+                donate_argnums=(1,),
+            )
+            self.kernel = "wavefront"
+            self.pipeline_blocks = _wf.WavefrontEngine.pipeline_blocks
+            return
         use_pallas = False
         if kernel != "xla":
             import jax as _jax
@@ -108,9 +139,11 @@ class StreamEngine:
         (< T) extra zero samples beyond the reference's exact count are
         idempotent (state is a function of the last rf inputs, all zero)."""
         n = self.model.get_prewarm_samples()
-        if n <= 0:
+        if n <= 0 and self.pipeline_blocks == 0:
             return state
-        blocks = -(-n // self.block_size)
+        # The wavefront tier needs pipeline_blocks extra zero blocks to fill
+        # its stage pipeline from the zero-input fixed point.
+        blocks = (-(-n // self.block_size) if n > 0 else 0) + self.pipeline_blocks
         zeros = jnp.zeros(
             (self.model.num_input_channels, self.block_size, self.batch), dtype=jnp.float32
         )

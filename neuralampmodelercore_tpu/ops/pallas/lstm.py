@@ -64,8 +64,6 @@ def supports(cfg, T: int, batch: int) -> Optional[str]:
         return f"batch {batch} not a multiple of {W_TILE}"
     if T % SUBLANE != 0:
         return f"block size {T} not a multiple of {SUBLANE}"
-    if T > 512:
-        return f"block size {T} > 512 (unrolled recurrence trace)"
     if _pick_w(cfg, T, batch) == 0:
         return "VMEM budget exceeded"
     return None
@@ -136,6 +134,22 @@ def _make_kernel(cfg, T: int, w: int):
         sig, th = act.fast_sigmoid, act.fast_tanh
     else:
         sig, th = jax.nn.sigmoid, jnp.tanh
+    # Serving blocks (T <= 128) unroll the recurrence at trace time: static
+    # offsets let Mosaic pipeline the per-step dots. Larger blocks run a
+    # fori_loop body instead — same math, dynamic sublane indexing into
+    # x/hall — which removes the old T <= 512 trace-size gate entirely
+    # (VERDICT r3 ask #8) at a small per-step indexing cost that long
+    # offline blocks amortize.
+    unroll = T <= 128
+
+    def cell(wr, inp, h_l, c_l, l):
+        wx, wh, b = wr[3 * l][:], wr[3 * l + 1][:], wr[3 * l + 2][:]
+        z = _gdot(wx, inp) + _gdot(wh, h_l) + b  # (4Hp, w)
+        zi, zf = z[0:Hp], z[Hp : 2 * Hp]
+        zg, zo = z[2 * Hp : 3 * Hp], z[3 * Hp :]
+        cn = sig(zf) * c_l + sig(zi) * th(zg)
+        hn = sig(zo) * th(cn)
+        return hn, cn
 
     def kernel(*refs):
         x_ref = refs[0]
@@ -144,25 +158,38 @@ def _make_kernel(cfg, T: int, w: int):
         y_ref, ho_ref, co_ref = refs[3 + 3 * L + 2 : 6 + 3 * L + 2]
         hall = refs[6 + 3 * L + 2]
 
-        h = [h_ref[l] for l in range(L)]
-        c = [c_ref[l] for l in range(L)]
-        for t in range(T):
-            inp = x_ref[:, t]  # (Cin, w)
+        if unroll:
+            h = [h_ref[l] for l in range(L)]
+            c = [c_ref[l] for l in range(L)]
+            for t in range(T):
+                inp = x_ref[:, t]  # (Cin, w)
+                for l in range(L):
+                    h[l], c[l] = cell(wr, inp, h[l], c[l], l)
+                    inp = h[l]
+                hall[:, t] = inp
             for l in range(L):
-                wx, wh, b = wr[3 * l][:], wr[3 * l + 1][:], wr[3 * l + 2][:]
-                z = _gdot(wx, inp) + _gdot(wh, h[l]) + b  # (4Hp, w)
-                zi, zf = z[0:Hp], z[Hp : 2 * Hp]
-                zg, zo = z[2 * Hp : 3 * Hp], z[3 * Hp :]
-                c[l] = sig(zf) * c[l] + sig(zi) * th(zg)
-                h[l] = sig(zo) * th(c[l])
-                inp = h[l]
-            hall[:, t] = inp
+                ho_ref[l] = h[l]
+                co_ref[l] = c[l]
+        else:
+            # working state lives in the (aliased) output refs
+            for l in range(L):
+                ho_ref[l] = h_ref[l]
+                co_ref[l] = c_ref[l]
+
+            def body(t, carry):
+                inp = x_ref[:, pl.ds(t, 1)][:, 0]
+                for l in range(L):
+                    hn, cn = cell(wr, inp, ho_ref[l], co_ref[l], l)
+                    ho_ref[l] = hn
+                    co_ref[l] = cn
+                    inp = hn
+                hall[:, pl.ds(t, 1)] = inp[:, None]
+                return carry
+
+            jax.lax.fori_loop(0, T, body, 0)
         # head over the whole block in one dot (O, Hp) x (Hp, T*w)
         y = _gdot(wr[3 * L][:], hall[:].reshape(Hp, T * w)) + wr[3 * L + 1][:]
         y_ref[:] = y.reshape(O, T, w)
-        for l in range(L):
-            ho_ref[l] = h[l]
-            co_ref[l] = c[l]
 
     return kernel
 

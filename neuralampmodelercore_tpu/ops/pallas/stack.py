@@ -182,7 +182,10 @@ def _pick_w(cfg, T: int, batch: int) -> int:
     half-tiles of 128 streams whose compute stages are software-pipelined
     against each other (heavy VPU activations of one half overlap MXU dots
     of the next)."""
-    rows = _footprint_rows(cfg, T)
+    if _wavefront_reason(cfg, T) is None:
+        rows = _footprint_rows_wf(cfg, T)
+    else:
+        rows = _footprint_rows(cfg, T)
     for w in (1024, 512, 256, 128):
         if batch % w == 0 and rows * T * w * 4 <= VMEM_BUDGET:
             return w
@@ -220,6 +223,55 @@ class _TailConv:
     store: int  # scratch idx: (cin, TW) DMA-source buffer (-1 iff rf == 0)
     chunk: int  # scratch idx: (cin, TW) tail-fetch buffer (-1 iff rf == 0)
     sem: int  # scratch idx: DMA sem (2,) [0]=read [1]=write (-1 iff rf == 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class _WfMicro:
+    """One wavefront micro-step: the active (layer, sub-tile) pairs plus the
+    packed block-diagonal weight indices for their fused dots."""
+
+    active: Tuple[Tuple[int, int], ...]  # (li, tau), ascending li
+    conv_w: int  # (sum C, sum K*C) block-diagonal
+    conv_b: int  # (sum C, 1)
+    mix_w: int  # (sum C, 1) — scalar condition per group
+    l1_w: int  # (sum C, sum C) block-diagonal
+    l1_b: int  # (sum C, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class _WfSegment:
+    """A schedule segment: either a wavefront-packed run of consecutive
+    shallow layers or a single whole-block (deep / unpacked) layer."""
+
+    kind: str  # "wf" | "layer"
+    li: int = -1  # for "layer"
+    lis: Tuple[int, ...] = ()  # for "wf": consecutive layer indices
+    micros: Tuple[_WfMicro, ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class _WfPlan:
+    """Time-axis wavefront packing for one array (docs/performance.md
+    "layer-pipelined block-diagonal packing"; the XLA-tier prototype was
+    models/wavefront.py). The block's T frames split into G sub-tiles;
+    inside a run of shallow layers, (layer l, sub-tile tau) executes at
+    micro-step l + tau, so up to G *different* layers' conv / layer1x1
+    weights pack block-diagonally into ONE dot — M rises from C (16 on the
+    flagship) toward G*C, and MXU pass count per micro is
+    ceil(sum(K*C)/128) instead of one pass per layer. Pure compute
+    reordering: zero added latency, same state layout, outputs within
+    FMA-reorder noise of the unpacked path (the same noise class as the
+    reference's inline-GEMM vs Eigen builds, tools/test/test_a2_fast.cpp:
+    276-278)."""
+
+    G: int
+    D: int  # depth of the layer-input buffer ring (>= G + 2)
+    segments: Tuple[_WfSegment, ...]
+    cur_scr: int  # (D, C_pad, TW) layer-input ring
+    head_scr: int  # (head_in_pad, TW) head accumulator
+    tail_scrs: Tuple[int, ...]  # per-layer dedicated tail buf (-1 if none)
+    rsem: int  # DMA sems (L,) tail reads
+    wsem: int  # DMA sems (L, H+1) tail/ring writes
 
 
 @dataclasses.dataclass(frozen=True)
@@ -268,6 +320,7 @@ class _ArrayPlan:
     rsem: int
     wsem: int
     n_chunk_bufs: int
+    wf: Optional[_WfPlan] = None  # wavefront packing (None => unpacked path)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -350,6 +403,145 @@ def cond_mode(cfg, T: int) -> str:
     if getattr(cfg, "condition_config", None) is None:
         return "none"
     return "fused" if _fused_chain(cfg, T) is not None else "prepass"
+
+
+# Wavefront packing (see _WfPlan) — implemented, equivalence-tested (CPU
+# interpret + on-device 1.9e-6 agreement), and measured on v5e at the
+# headline point (flagship, T=128, B=4096, tools/probe_wavefront.py):
+#
+#   unpacked W=512: 2530 us   unpacked W=256: 2610 us
+#   wavefront W=512: 3062 us  wavefront W=256: 3101-3155 us
+#
+# i.e. the packing is ~20% SLOWER at equal tile width, in both the
+# fused-halves and half-pipelined forms. Root cause per the ablations: at
+# wide shapes the kernel is NOT dot-pass-bound (M=16 vs M=64 packing moves
+# nothing) and NOT activation-bound (identity-activation ablation measures
+# the SAME 2517 us as exact tanh at T=128/B=4096 — the T=64/B=1024 "tanh is
+# 40%" finding does not transfer to wide shapes), so the packed schedule's
+# extra fine-grained window-slice/concat ops and head-buffer read-modify-
+# write traffic cost more than the pass-count reduction saves. Kept
+# default-OFF as a documented negative result (the same class as round 3's
+# W=1024 finding); the flag remains for A/B re-testing on future hardware
+# where the MXU/VPU balance differs.
+WAVEFRONT = False
+WF_G = 4  # time sub-tiles; 4 quantizes best against 128-row K-tiles at the
+#           flagship's K*C=48 (ceil(48*4/128)=2 passes for 4 packed layers)
+#           and keeps the input-ring VMEM footprint at parity with the
+#           unpacked path (G=8 computes the same pass count at 1.7x VMEM).
+
+
+def _wavefront_reason(cfg, T: int) -> Optional[str]:
+    """None if every array qualifies for time-axis wavefront packing, else
+    why not. The gate mirrors the XLA prototype's eligibility
+    (models/wavefront.py wavefront_ineligible_reason): the plain dilated
+    stack without FiLM / gating / head1x1 / condition DSP — the flagship a1
+    family and the slimmable wavenet."""
+    from ...models.wavenet import FILM_SITES, _layer_film_spec
+
+    if not WAVEFRONT:
+        return "disabled"
+    if getattr(cfg, "condition_config", None) is not None:
+        return "condition DSP"
+    if cfg.in_channels != 1:
+        return "multi-channel input"
+    if T % WF_G:
+        return f"T={T} not divisible by G={WF_G}"
+    packable = False
+    for ac in cfg.layer_arrays:
+        if ac.condition_size != 1:
+            return "condition_size != 1"
+        if ac.bottleneck != ac.channels:
+            return "bottleneck != channels"
+        if not ac.layer1x1_active:
+            return "layer1x1 inactive"
+        if ac.head1x1_active:
+            return "head1x1 active"
+        run = 0
+        for li in range(ac.num_layers):
+            if ac.gating_modes[li] != NONE:
+                return "gating/blending"
+            for site in FILM_SITES:
+                if _layer_film_spec(ac, li, site) is not None:
+                    return "FiLM"
+            rf = (ac.kernel_sizes[li] - 1) * ac.dilations[li]
+            run = run + 1 if rf <= T else 0
+            packable = packable or run >= 2
+    if not packable:
+        return "no run of >= 2 consecutive shallow layers to pack"
+    return None
+
+
+def _wf_segments(ac, T: int) -> List[Tuple[str, Any]]:
+    """Partition an array's layers into ("wf", [lis]) runs of >= 2
+    consecutive shallow layers and ("layer", li) whole-block singles."""
+    segs: List[Tuple[str, Any]] = []
+    run: List[int] = []
+
+    def flush():
+        nonlocal run
+        if len(run) >= 2:
+            segs.append(("wf", run))
+        else:
+            segs.extend(("layer", li) for li in run)
+        run = []
+
+    for li in range(ac.num_layers):
+        rf = (ac.kernel_sizes[li] - 1) * ac.dilations[li]
+        if rf <= T:
+            run.append(li)
+        else:
+            flush()
+            segs.append(("layer", li))
+    flush()
+    return segs
+
+
+def _blockdiag(mats: List[np.ndarray]) -> np.ndarray:
+    M = sum(w.shape[0] for w in mats)
+    K = sum(w.shape[1] for w in mats)
+    out = np.zeros((M, K), dtype=np.float32)
+    r = c = 0
+    for w in mats:
+        out[r : r + w.shape[0], c : c + w.shape[1]] = w
+        r += w.shape[0]
+        c += w.shape[1]
+    return out
+
+
+def _footprint_rows_wf(cfg, T: int) -> int:
+    """VMEM footprint (rows x T*W units) of the wavefront path: per array,
+    the persistent D-deep input ring + head accumulator + dedicated shallow
+    tail buffers SUM across arrays (all statically allocated), plus the
+    worst transient of a whole-block deep layer (chunk bufs + stacked
+    operand + live values)."""
+    G = WF_G
+    D = G + 2
+    rows = 0.0
+    transient = 0
+    for ac in cfg.layer_arrays:
+        C = _pad8(ac.channels)
+        rows += D * C + _pad8(ac.head_output_size)
+        nc_max = 0
+        for li in range(ac.num_layers):
+            K, d = ac.kernel_sizes[li], ac.dilations[li]
+            rf = (K - 1) * d
+            if 0 < rf <= T:
+                rows += C * (rf / T)  # dedicated tail buffer (C, H*rf*W)
+            elif rf > T:
+                nc_max = max(nc_max, _layer_num_chunks(K, d, T))
+                # whole-block transient: stacked operand + ~4 live values
+                transient = max(transient, (K + 4) * C)
+        rows += 2 * nc_max * C  # per-array chunk scratch is static
+        hr_rf = (ac.head_kernel_size - 1) * ac.head_dilation
+        if hr_rf > 0:
+            rows += (2 + ac.head_kernel_size) * _pad8(ac.head_output_size) + _pad8(ac.head_size)
+    if cfg.head is not None:
+        cin = _pad8(cfg.head.in_channels)
+        for k in cfg.head.kernel_sizes:
+            if k > 1:
+                rows += (2 + k) * cin + _pad8(cfg.head.channels)
+            cin = _pad8(cfg.head.channels)
+    return int(math.ceil(rows)) + transient
 
 
 def supports(cfg, T: int, batch: int) -> Optional[str]:
@@ -456,6 +648,10 @@ def _build_plan(cfg, params, T: int, batch: int):
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
         return _TailConv(K, d, cin, cout, rf, w, b, tail, store, chunk, sem)
 
+    # Wavefront packing applies only to a single-net plan whose config passes
+    # the gate (condition DSPs are excluded by the gate, so chains never mix).
+    wf_top = _wavefront_reason(cfg, T) is None
+
     for net_cfg, net_params in net_specs:
       arrays: List[_ArrayPlan] = []
       for ai, ac in enumerate(net_cfg.layer_arrays):
@@ -466,6 +662,10 @@ def _build_plan(cfg, params, T: int, batch: int):
         layer_plans: List[_LayerPlan] = []
         n_chunk_bufs = 0
         any_pre_film = False
+        # Per-layer dense engine-layout weights, stashed for the wavefront
+        # packed-weight build below (values identical to the unpacked
+        # weights; the packing is block-diagonal concatenation).
+        dense: List[Dict[str, np.ndarray]] = []
         for li in range(L):
             lp = ap["layers"][li]
             K, d = ac.kernel_sizes[li], ac.dilations[li]
@@ -478,7 +678,8 @@ def _build_plan(cfg, params, T: int, batch: int):
                 # Shallow layer: carry only the last rf columns as state.
                 tail = len(tail_shapes)
                 tail_shapes.append((nt, _pad8(C), H * rf * W))
-                n_chunk_bufs = max(n_chunk_bufs, 1)
+                if not wf_top:
+                    n_chunk_bufs = max(n_chunk_bufs, 1)
             elif rf > 0:
                 js: set = set()
                 for a_lb in lookbacks:
@@ -521,6 +722,16 @@ def _build_plan(cfg, params, T: int, batch: int):
                 films.append((site, fw, fb, fspec.input_dim, fspec.shift))
                 if site == "conv_pre_film":
                     any_pre_film = True
+            if wf_top:
+                dense.append(
+                    {
+                        "conv": w.transpose(2, 0, 1).reshape(conv_out, K * C),
+                        "conv_b": np.asarray(lp["conv"]["b"], np.float32)[:, None],
+                        "mix": _dense_1x1_w(lp["mixin"], S, conv_out).T,
+                        "l1": _dense_1x1_w(lp["layer1x1"], ac.bottleneck, C).T,
+                        "l1_b": np.asarray(lp["layer1x1"]["b"], np.float32)[:, None],
+                    }
+                )
             layer_plans.append(
                 _LayerPlan(
                     K=K, d=d, conv_out=conv_out, bn=ac.bottleneck, rf=rf,
@@ -538,13 +749,64 @@ def _build_plan(cfg, params, T: int, batch: int):
             ac.head_output_size, ac.head_size, "b" in ap["head_rechannel"],
         )
 
-        cur_scr = len(scratch)
-        scratch.append(pltpu.VMEM((2, _pad8(C), TW), jnp.float32))
-        if any_pre_film:
-            film_scr = len(scratch)
-            scratch.append(pltpu.VMEM((2, _pad8(C), TW), jnp.float32))
+        wf: Optional[_WfPlan] = None
+        if wf_top:
+            # Wavefront mode: packed per-micro weights + dedicated scratch.
+            G = WF_G
+            D = G + 2  # input-ring depth: layer l's buffer lives micros
+            #            [l-1, l+G-1]; slot l%D is first rewritten at micro
+            #            l+D-1 = l+G+1, two micros after its last read.
+            segs: List[_WfSegment] = []
+            for kind, v in _wf_segments(ac, T):
+                if kind == "layer":
+                    segs.append(_WfSegment(kind="layer", li=v))
+                    continue
+                lis = tuple(v)
+                micros: List[_WfMicro] = []
+                for m in range(len(lis) + G - 1):
+                    active = tuple(
+                        (lis[j], m - j) for j in range(len(lis)) if 0 <= m - j < G
+                    )
+                    micros.append(
+                        _WfMicro(
+                            active=active,
+                            conv_w=add_w(_blockdiag([dense[li]["conv"] for li, _ in active])),
+                            conv_b=add_w(np.concatenate([dense[li]["conv_b"] for li, _ in active])),
+                            mix_w=add_w(np.concatenate([dense[li]["mix"] for li, _ in active])),
+                            l1_w=add_w(_blockdiag([dense[li]["l1"] for li, _ in active])),
+                            l1_b=add_w(np.concatenate([dense[li]["l1_b"] for li, _ in active])),
+                        )
+                    )
+                segs.append(_WfSegment(kind="wf", lis=lis, micros=tuple(micros)))
+            wf_cur = len(scratch)
+            scratch.append(pltpu.VMEM((D, _pad8(C), TW), jnp.float32))
+            wf_head = len(scratch)
+            scratch.append(pltpu.VMEM((_pad8(ac.head_output_size), TW), jnp.float32))
+            tail_scrs: List[int] = []
+            for lpn in layer_plans:
+                if lpn.tail >= 0:
+                    tail_scrs.append(len(scratch))
+                    scratch.append(pltpu.VMEM((_pad8(C), H * lpn.rf * W), jnp.float32))
+                else:
+                    tail_scrs.append(-1)
+            wf_rsem = len(scratch)
+            scratch.append(pltpu.SemaphoreType.DMA((L,)))
+            wf_wsem = len(scratch)
+            scratch.append(pltpu.SemaphoreType.DMA((L, H + 1)))
+            wf = _WfPlan(
+                G=G, D=D, segments=tuple(segs), cur_scr=wf_cur,
+                head_scr=wf_head, tail_scrs=tuple(tail_scrs),
+                rsem=wf_rsem, wsem=wf_wsem,
+            )
+            cur_scr = film_scr = -1
         else:
-            film_scr = -1
+            cur_scr = len(scratch)
+            scratch.append(pltpu.VMEM((2, _pad8(C), TW), jnp.float32))
+            if any_pre_film:
+                film_scr = len(scratch)
+                scratch.append(pltpu.VMEM((2, _pad8(C), TW), jnp.float32))
+            else:
+                film_scr = -1
         if n_chunk_bufs > 0:
             chunk_scr = len(scratch)
             scratch.append(pltpu.VMEM((2, n_chunk_bufs, _pad8(C), TW), jnp.float32))
@@ -552,10 +814,13 @@ def _build_plan(cfg, params, T: int, batch: int):
             scratch.append(pltpu.SemaphoreType.DMA((2, max(n_chunk_bufs, 1))))
         else:
             chunk_scr = rsem = -1
-        # Write semaphores: [p, 0..H-1] for per-half tail writes, [p, H] for
-        # the full-chunk ring write.
-        wsem = len(scratch)
-        scratch.append(pltpu.SemaphoreType.DMA((2, H + 1)))
+        if wf is None:
+            # Write semaphores: [p, 0..H-1] for per-half tail writes, [p, H]
+            # for the full-chunk ring write.
+            wsem = len(scratch)
+            scratch.append(pltpu.SemaphoreType.DMA((2, H + 1)))
+        else:
+            wsem = -1
 
         arrays.append(
             _ArrayPlan(
@@ -566,6 +831,7 @@ def _build_plan(cfg, params, T: int, batch: int):
                 cur_scr=cur_scr, film_scr=film_scr, chunk_scr=chunk_scr,
                 rsem=rsem, wsem=wsem,
                 n_chunk_bufs=n_chunk_bufs,
+                wf=wf,
             )
         )
 
@@ -725,6 +991,327 @@ def _make_kernel(plan: _Plan):
                 outs.append(y)
             return outs
 
+        def wf_array(ap, prev_out, head_acc):
+            """Wavefront-packed array body (see _WfPlan). Executes the
+            static (layer, sub-tile) schedule: shallow runs as packed
+            block-diagonal micro-dots, deep layers as whole-block barriers
+            reusing the ring-chunk DMA machinery. Pure reordering of the
+            unpacked body's compute — identical state layout and contents."""
+            wf = ap.wf
+            G, D = wf.G, wf.D
+            Tg = T // G
+            TgW = Tg * W
+            C = ap.C
+            Hc = ap.head_in  # == bottleneck == C by the wavefront gate
+            cur = scr[wf.cur_scr]  # (D, C_pad, TW) layer-input ring
+            headb = scr[wf.head_scr]
+            chunks = scr[ap.chunk_scr] if ap.chunk_scr >= 0 else None
+            crsem = scr[ap.rsem] if ap.rsem >= 0 else None
+            trsem = scr[wf.rsem]
+            twsem = scr[wf.wsem]
+
+            hr_read = tail_conv_start_read(ap.hr)
+
+            # Incoming head accumulation from the previous array (reference:
+            # head flows through arrays, model.cpp:382-383, 510).
+            have_head = head_acc[0] is not None
+            if have_head:
+                for h in range(H):
+                    headb[:Hc, h * TWh : (h + 1) * TWh] = head_acc[h]
+
+            # rechannel -> layer 0 input (slot 0)
+            for h in range(H):
+                cur[0, :C, h * TWh : (h + 1) * TWh] = _small_dot(
+                    wr[ap.rech_w][:], prev_out[h]
+                )
+
+            # Prefetch every shallow layer's tail state into its dedicated
+            # buffer (independent DMAs; each is waited at the layer's first
+            # use, well after issue).
+            tail_dma: Dict[int, Any] = {}
+            for li, lp in enumerate(ap.layers):
+                if lp.tail >= 0:
+                    dma = pltpu.make_async_copy(
+                        ti[lp.tail].at[i], scr[wf.tail_scrs[li]], trsem.at[li]
+                    )
+                    dma.start()
+                    tail_dma[li] = dma
+            waited_tails: set = set()
+
+            # ---- static schedule (python; trace-time only) ----------------
+            positions: List[Tuple[str, Any]] = []
+            for seg in wf.segments:
+                if seg.kind == "layer":
+                    positions.append(("whole", seg.li))
+                else:
+                    positions.extend(("wf", mi) for mi in seg.micros)
+            pos_of: Dict[Any, int] = {}
+            first_use: Dict[int, int] = {}
+            for p_i, (kind, a) in enumerate(positions):
+                if kind == "whole":
+                    pos_of[a] = p_i
+                    first_use.setdefault(a, p_i)
+                else:
+                    for li, tau in a.active:
+                        pos_of[(li, tau)] = p_i
+                        first_use.setdefault(li, p_i)
+            comp: Dict[int, int] = {}  # position after which li's input is complete
+            for li in range(ap.L):
+                if li == 0:
+                    comp[0] = -1
+                elif (li - 1) in pos_of:
+                    comp[li] = pos_of[li - 1]
+                else:
+                    comp[li] = pos_of[(li - 1, G - 1)]
+            issue_tail: Dict[int, List[int]] = {}
+            for li, lp in enumerate(ap.layers):
+                if lp.tail >= 0:
+                    issue_tail.setdefault(max(comp[li], first_use[li]), []).append(li)
+
+            pending_by_slot: Dict[int, List[Any]] = {}
+            cleared: set = set()
+
+            def ensure_clear(s):
+                """Wait DMAs still sourcing ring slot s before rewriting it."""
+                for dma in pending_by_slot.pop(s, []):
+                    dma.wait()
+
+            def wait_tail_read(li):
+                if li in tail_dma and li not in waited_tails:
+                    tail_dma[li].wait()
+                    waited_tails.add(li)
+
+            def head_write(cols, val, first):
+                if first:
+                    headb[:Hc, cols] = val
+                else:
+                    headb[:Hc, cols] = headb[:Hc, cols] + val
+
+            def tap_piece(li, lp, tau, a_lb, h):
+                s0 = tau * Tg - a_lb
+                hoff = h * TWh
+                if s0 >= 0:
+                    return cur[li % D, :C, hoff + s0 * W : hoff + s0 * W + TgW]
+                tb = scr[wf.tail_scrs[li]]
+                rf = lp.rf
+                if s0 + Tg <= 0:
+                    off = h * rf * W + (rf + s0) * W
+                    return tb[:C, off : off + TgW]
+                left = tb[:C, h * rf * W + (rf + s0) * W : h * rf * W + rf * W]
+                right = cur[li % D, :C, hoff : hoff + (Tg + s0) * W]
+                return jnp.concatenate([left, right], axis=1)
+
+            def cat(parts, axis):
+                return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else parts[0]
+
+            def wf_micro(mi):
+                # Per-HALF packed dots, stage-interleaved across halves in
+                # wave order (stage s of half h at wave s + h): consecutive
+                # micros form a serial dependency chain (each group's input
+                # is written by its upstream group one micro earlier), so the
+                # H independent half-chains are the kernel's only ILP — the
+                # first fused-halves version serialized the heavy VPU
+                # activation against the MXU dots and measured 20% SLOWER
+                # than the unpacked path; this form restores the overlap
+                # while keeping the M-packed pass-count win.
+                for li, tau in mi.active:
+                    if tau == 0:
+                        wait_tail_read(li)
+                        ensure_clear((li + 1) % D)
+                ctx = [dict() for _ in range(H)]
+                acts = [ap.layers[li].act1 for li, _ in mi.active]
+                uniform = all(a == acts[0] for a in acts)
+
+                def st_conv(h, mi=mi, ctx=ctx):
+                    ops = []
+                    for li, tau in mi.active:
+                        lp = ap.layers[li]
+                        ops.append(
+                            cat([tap_piece(li, lp, tau, a_lb, h) for a_lb in lp.lookbacks], 0)
+                        )
+                    z = _dot(wr[mi.conv_w][:], cat(ops, 0)) + wr[mi.conv_b][:]
+                    mixs = []
+                    for g, (li, tau) in enumerate(mi.active):
+                        cg = cond[h][:, tau * TgW : (tau + 1) * TgW]
+                        mixs.append(wr[mi.mix_w][g * C : (g + 1) * C] * cg)
+                    ctx[h]["z"] = z + cat(mixs, 0)
+
+                def st_act(h, mi=mi, ctx=ctx, uniform=uniform, acts=acts):
+                    z = ctx[h].pop("z")
+                    if uniform:
+                        ctx[h]["a"] = act.apply(acts[0], z, channel_axis=0)
+                    else:
+                        ctx[h]["a"] = cat(
+                            [
+                                act.apply(
+                                    ap.layers[li].act1, z[g * C : (g + 1) * C], channel_axis=0
+                                )
+                                for g, (li, _) in enumerate(mi.active)
+                            ],
+                            0,
+                        )
+
+                def st_l1(h, mi=mi, ctx=ctx):
+                    ctx[h]["l1"] = _dot(wr[mi.l1_w][:], ctx[h]["a"]) + wr[mi.l1_b][:]
+
+                def st_wr(h, mi=mi, ctx=ctx):
+                    av = ctx[h].pop("a")
+                    l1 = ctx[h].pop("l1")
+                    for g, (li, tau) in enumerate(mi.active):
+                        c0 = h * TWh + tau * TgW
+                        xin = cur[li % D, :C, c0 : c0 + TgW]
+                        cur[(li + 1) % D, :C, c0 : c0 + TgW] = (
+                            xin + l1[g * C : (g + 1) * C]
+                        )
+                        head_write(
+                            slice(c0, c0 + TgW),
+                            av[g * C : (g + 1) * C],
+                            first=(li == 0 and not have_head),
+                        )
+
+                stages = (st_conv, st_act, st_l1, st_wr)
+                for wave in range(len(stages) + H - 1):
+                    for h in range(H):
+                        s = wave - h
+                        if 0 <= s < len(stages):
+                            stages[s](h)
+
+            def issue_deep_reads(li, p_i):
+                lp = ap.layers[li]
+                ds_ = []
+                for bi, j in enumerate(lp.js):
+                    s = slots_ref[lp.slot_base + bi]
+                    dma = pltpu.make_async_copy(
+                        rr[lp.ring].at[s, i], chunks.at[p_i % 2, bi], crsem.at[p_i % 2, bi]
+                    )
+                    dma.start()
+                    ds_.append(dma)
+                return ds_
+
+            def whole_layer(li, p_i, reads):
+                lp = ap.layers[li]
+                wait_tail_read(li)
+                for dma in reads:
+                    dma.wait()
+                ensure_clear((li + 1) % D)
+                xin = cur[li % D, :C]
+                if lp.M:
+                    # deep layer: write this block's input into the ring
+                    wslot = slots_ref[lp.slot_base + len(lp.js)]
+                    wd = pltpu.make_async_copy(
+                        cur.at[li % D], ro[lp.ring].at[wslot, i], twsem.at[li, H]
+                    )
+                    wd.start()
+                    pending_by_slot.setdefault(li % D, []).append(wd)
+                chunk_cache = {
+                    j: chunks[p_i % 2, bi, :C] for bi, j in enumerate(lp.js)
+                }
+
+                def cval(j, xin=xin, chunk_cache=chunk_cache):
+                    return xin if j == 0 else chunk_cache[j]
+
+                # per-half stages in wave order — the same half-pipelining
+                # as the unpacked body (activation of one half overlaps the
+                # sibling half's MXU dots)
+                ctx = [dict() for _ in range(H)]
+
+                def st_conv(h, li=li, lp=lp, xin=xin, cval=cval, ctx=ctx):
+                    wins = []
+                    for a_lb in lp.lookbacks:
+                        if a_lb == 0:
+                            wins.append(hslice(xin, h))
+                            continue
+                        if lp.tail >= 0:
+                            tb = scr[wf.tail_scrs[li]]
+                            rf = lp.rf
+                            left = tb[:C, h * rf * W + (rf - a_lb) * W : h * rf * W + rf * W]
+                            if a_lb == T:
+                                wins.append(left)
+                            else:
+                                wins.append(
+                                    jnp.concatenate(
+                                        [left, hslice(xin, h)[:, : (T - a_lb) * W]], axis=1
+                                    )
+                                )
+                            continue
+                        j, o = divmod(a_lb, T)
+                        if o == 0:
+                            wins.append(hslice(cval(j), h))
+                        else:
+                            left = hslice(cval(j + 1), h)[:, (T - o) * W :]
+                            right = hslice(cval(j), h)[:, : (T - o) * W]
+                            wins.append(jnp.concatenate([left, right], axis=1))
+                    z = _dot(wr[lp.conv_w][:], cat(wins, 0)) + wr[lp.conv_b][:]
+                    ctx[h]["z"] = z + _small_dot(wr[lp.mixin_w][:], cond[h])
+
+                def st_act(h, lp=lp, ctx=ctx):
+                    ctx[h]["a"] = act.apply(lp.act1, ctx[h].pop("z"), channel_axis=0)
+
+                def st_l1(h, lp=lp, ctx=ctx):
+                    ctx[h]["l1"] = _dot(wr[lp.l1_w][:], ctx[h]["a"]) + wr[lp.l1_b][:]
+
+                def st_wr(h, li=li, xin=xin, ctx=ctx):
+                    av = ctx[h].pop("a")
+                    l1v = ctx[h].pop("l1")
+                    hoff = h * TWh
+                    cur[(li + 1) % D, :C, hoff : hoff + TWh] = hslice(xin, h) + l1v
+                    head_write(
+                        slice(hoff, hoff + TWh),
+                        av,
+                        first=(li == 0 and not have_head),
+                    )
+
+                stages = (st_conv, st_act, st_l1, st_wr)
+                for wave in range(len(stages) + H - 1):
+                    for h in range(H):
+                        s = wave - h
+                        if 0 <= s < len(stages):
+                            stages[s](h)
+
+            def issue_tail_writes(lis_):
+                for li in lis_:
+                    lp = ap.layers[li]
+                    wait_tail_read(li)  # in-place alias: read before rewrite
+                    rfW = lp.rf * W
+                    for h in range(H):
+                        wd = pltpu.make_async_copy(
+                            cur.at[li % D, :, pl.ds(h * TWh + (T - lp.rf) * W, rfW)],
+                            to[lp.tail].at[i, :, pl.ds(h * rfW, rfW)],
+                            twsem.at[li, h],
+                        )
+                        wd.start()
+                        pending_by_slot.setdefault(li % D, []).append(wd)
+
+            deep_reads: List[Any] = []
+            if positions and positions[0][0] == "whole" and ap.layers[positions[0][1]].js:
+                deep_reads = issue_deep_reads(positions[0][1], 0)
+            for p_i, (kind, a) in enumerate(positions):
+                # one-position read lookahead for deep layers
+                deep_reads_next: List[Any] = []
+                if p_i + 1 < len(positions) and positions[p_i + 1][0] == "whole":
+                    nli = positions[p_i + 1][1]
+                    if ap.layers[nli].js:
+                        deep_reads_next = issue_deep_reads(nli, p_i + 1)
+                if kind == "whole":
+                    whole_layer(a, p_i, deep_reads)
+                else:
+                    wf_micro(a)
+                deep_reads = deep_reads_next
+                lis_ = issue_tail.get(p_i)
+                if lis_:
+                    issue_tail_writes(lis_)
+
+            for s in list(pending_by_slot):
+                ensure_clear(s)
+
+            head_halves = [headb[:Hc, h * TWh : (h + 1) * TWh] for h in range(H)]
+            new_head = tail_conv_apply(ap.hr, head_halves, hr_read)
+            last_slot = ap.L % D
+            new_prev = [
+                cur[last_slot, :C, h * TWh : (h + 1) * TWh] for h in range(H)
+            ]
+            return new_prev, new_head
+
         for ni, net in enumerate(plan.nets):
           # Each net (fused condition DSPs first, then the main model)
           # consumes the raw input; non-final nets' outputs become the next
@@ -733,6 +1320,9 @@ def _make_kernel(plan: _Plan):
           prev_out = list(x_halves)
           head_acc = [None] * H
           for ap in net.arrays:
+            if ap.wf is not None:
+                prev_out, head_acc = wf_array(ap, prev_out, head_acc)
+                continue
             cur = scr[ap.cur_scr]  # (2, C, H*TWh) layer-input scratch
             fil = scr[ap.film_scr] if ap.film_scr >= 0 else None
             chunks = scr[ap.chunk_scr] if ap.chunk_scr >= 0 else None
@@ -1129,7 +1719,10 @@ _PLAN_CACHE_MAX = 64
 
 
 def _build_plan_cached(cfg, T: int, B: int):
-    key = (id(cfg), T, B)
+    # WAVEFRONT in the key: toggling the flag (tests / ablations) must not
+    # serve a stale plan. Engines prepared under one flag value must step
+    # under the same value (weight lists differ).
+    key = (id(cfg), T, B, WAVEFRONT)
     hit = _PLAN_CACHE.get(key)
     if hit is not None and hit[2] is cfg:
         return hit[0], hit[1]

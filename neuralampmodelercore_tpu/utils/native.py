@@ -24,7 +24,7 @@ _lib_lock = threading.Lock()
 _build_attempted = False
 
 
-ABI_VERSION = 2  # keep in sync with nam_native_abi_version()
+ABI_VERSION = 3  # keep in sync with nam_native_abi_version()
 
 
 def _needs_rebuild() -> bool:
@@ -112,6 +112,21 @@ def _bind_and_check(lib: ctypes.CDLL) -> Optional[ctypes.CDLL]:
     lib.nam_pool_pop_all_tb.argtypes = [ctypes.c_void_p, f32p]
     lib.nam_pool_push_all_tb.restype = i64
     lib.nam_pool_push_all_tb.argtypes = [ctypes.c_void_p, f32p]
+    lib.nam_mbox_create.restype = ctypes.c_void_p
+    lib.nam_mbox_create.argtypes = [i64, i64, i64]
+    lib.nam_mbox_destroy.argtypes = [ctypes.c_void_p]
+    lib.nam_mbox_slab_ptr.restype = f32p
+    lib.nam_mbox_slab_ptr.argtypes = [ctypes.c_void_p, i64]
+    lib.nam_mbox_push.restype = i64
+    lib.nam_mbox_push.argtypes = [ctypes.c_void_p, i64, f32p]
+    lib.nam_mbox_push_range.restype = i64
+    lib.nam_mbox_push_range.argtypes = [ctypes.c_void_p, i64, i64, f32p]
+    lib.nam_mbox_assemble.restype = i64
+    lib.nam_mbox_assemble.argtypes = [ctypes.c_void_p, i64, f32p]
+    lib.nam_mbox_mark_consumed.argtypes = [ctypes.c_void_p, i64]
+    lib.nam_mbox_next_epoch.restype = i64
+    lib.nam_mbox_next_epoch.argtypes = [ctypes.c_void_p]
+    lib.nam_mbox_gather.argtypes = [f32p, i64, i64, i64, f32p]
     lib.nam_native_abi_version.restype = ctypes.c_int
     if lib.nam_native_abi_version() != ABI_VERSION:
         return None  # stale library and rebuild failed: use numpy fallbacks
@@ -325,6 +340,114 @@ class RingPool:
         try:
             if getattr(self, "_h", None) is not None:
                 self._lib.nam_pool_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+
+class Mailbox:
+    """Epoch mailbox: the zero-copy farm dataplane (native/nam_native.cpp
+    "Epoch mailbox" section for the design and memory-ordering rationale).
+
+    Producers write blocks directly into the device-layout slab for the
+    epoch they target (the layout transform rides the producer threads);
+    dispatch turns per-cell fill flags into a {0,1} mask the DEVICE
+    multiplies in, so silent streams cost the host nothing; consumers
+    gather their column from published output arrays.
+
+    NumPy fallback: same protocol under the GIL (single-interpreter safety
+    is enough for tests; the native path is the production one).
+    """
+
+    def __init__(self, n_streams: int, depth: int, block_floats: int):
+        self.n_streams = int(n_streams)
+        self.block_floats = int(block_floats)
+        d = 1
+        while d < int(depth):
+            d <<= 1
+        self.depth = d
+        self._lib = _try_load()
+        if self._lib is not None:
+            self._h = self._lib.nam_mbox_create(self.n_streams, self.depth, self.block_floats)
+            ptr = self._lib.nam_mbox_slab_ptr(self._h, 0)
+            self.slabs = np.ctypeslib.as_array(
+                ptr, shape=(self.depth, self.block_floats, self.n_streams)
+            )
+        else:
+            self._h = None
+            self.slabs = np.zeros((self.depth, self.block_floats, self.n_streams), np.float32)
+            self._filled = np.full((self.depth, self.n_streams), -1, np.int64)
+            self._seq = np.zeros(self.n_streams, np.int64)
+            self._next_epoch = 0
+            self._consumed = -1
+
+    def push(self, stream: int, block: np.ndarray) -> int:
+        """Write one block (block_floats values) for a stream into its
+        column of the target epoch's slab. Returns the epoch delivered to,
+        or -1 if the mailbox is full."""
+        block = np.ascontiguousarray(block, dtype=np.float32).reshape(-1)
+        assert block.size == self.block_floats
+        if self._h is not None:
+            return int(self._lib.nam_mbox_push(self._h, int(stream), _fptr(block)))
+        e = max(int(self._seq[stream]), self._next_epoch)
+        if e - self._consumed > self.depth - 1:
+            return -1
+        self.slabs[e % self.depth, :, stream] = block
+        self._filled[e % self.depth, stream] = e
+        self._seq[stream] = e + 1
+        return e
+
+    def push_range(self, first: int, blocks: np.ndarray) -> int:
+        """(n, block_floats) blocks for streams [first, first+n)."""
+        blocks = np.ascontiguousarray(blocks, dtype=np.float32)
+        if self._h is not None:
+            return int(
+                self._lib.nam_mbox_push_range(self._h, int(first), blocks.shape[0], _fptr(blocks))
+            )
+        return sum(self.push(first + i, blocks[i]) >= 0 for i in range(blocks.shape[0]))
+
+    def assemble(self, epoch: int, mask_out: np.ndarray) -> int:
+        """Scan epoch's fill flags into a {0,1} float mask; returns #fed."""
+        assert mask_out.shape == (self.n_streams,) and mask_out.dtype == np.float32
+        if self._h is not None:
+            return int(self._lib.nam_mbox_assemble(self._h, int(epoch), _fptr(mask_out)))
+        self._next_epoch = epoch + 1
+        hit = self._filled[epoch % self.depth] == epoch
+        mask_out[:] = hit
+        return int(hit.sum())
+
+    def slab(self, epoch: int) -> np.ndarray:
+        """(block_floats, n_streams) view of the epoch's slab (no copy)."""
+        return self.slabs[epoch % self.depth]
+
+    def mark_consumed(self, epoch: int) -> None:
+        """The device step that read this epoch's slab is complete."""
+        if self._h is not None:
+            self._lib.nam_mbox_mark_consumed(self._h, int(epoch))
+        else:
+            self._consumed = epoch
+
+    def next_epoch(self) -> int:
+        if self._h is not None:
+            return int(self._lib.nam_mbox_next_epoch(self._h))
+        return self._next_epoch
+
+    def gather(self, out_tb: np.ndarray, stream: int) -> np.ndarray:
+        """Consumer-side column gather from a published (F, B) output."""
+        out = np.empty(out_tb.shape[0], np.float32)
+        if self._lib is not None and out_tb.flags.c_contiguous and out_tb.dtype == np.float32:
+            self._lib.nam_mbox_gather(
+                _fptr(out_tb), out_tb.shape[1], out_tb.shape[0], int(stream), _fptr(out)
+            )
+            return out
+        out[:] = out_tb[:, stream]
+        return out
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None) is not None:
+                self.slabs = None  # view into native memory: drop before free
+                self._lib.nam_mbox_destroy(self._h)
                 self._h = None
         except Exception:
             pass

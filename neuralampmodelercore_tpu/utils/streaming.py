@@ -3,44 +3,56 @@
 The reference is driven by a plugin host calling process() on one stream;
 the TPU engine serves thousands of streams per chip, so the host loop itself
 becomes a first-class component (SURVEY.md §2.7 "block-streaming scheduler",
-§7 hard part #3): per-stream input/output queues, batch assembly into the
-engine's (C, T, B) device layout, dispatch, and demux — without becoming the
+§7 hard part #3): per-stream input feeds, batch assembly into the engine's
+(C, T, B) device layout, dispatch, and demux — without becoming the
 bottleneck.
 
-Queues are a lock-free native SPSC ring pool whose batch assembly/demux is
-fused with the layout transform in one native pass (utils/native.py RingPool
-/ native/nam_native.cpp), so audio threads can feed the farm while the
-dispatch loop runs.
+Round 4 replaced the RingPool gather/scatter dataplane with the EPOCH
+MAILBOX (utils/native.py Mailbox / native/nam_native.cpp "Epoch mailbox"):
+round 3 measured the fused assembly+demux passes at 5.6 ms/block on the
+single dispatch thread at B=4096/T=128 — over the 2.67 ms audio deadline
+(BENCH_r03.json). The mailbox removes that work from the dispatch thread
+architecturally:
 
-Dispatch is DOUBLE-BUFFERED: JAX dispatches the device step asynchronously,
-so ``dispatch()`` launches block N and then demuxes block N-1's result —
-the host's assembly/demux of adjacent blocks overlaps the device's compute
-of the current block. The device steps themselves serialize on the carried
-ring state (exactly the reference's sequential-process contract,
-NAM/dsp.h:97), so this is the maximum available overlap; measured by
-tools/bench_farm.py.
+  - producers (audio threads) write blocks DIRECTLY into the (C, T, B)
+    device-layout slab for the epoch they target — the layout transform
+    rides the many producer threads, where it parallelizes;
+  - silent streams cost the host nothing: dispatch scans per-cell epoch
+    flags into a B-float {0,1} mask and the DEVICE multiplies it into the
+    input (stale column data is finite old audio, so masked columns are
+    exact zeros — bit-identical to the old host-zeroed assembly);
+  - demux is publication: the fetched (C_out*T, B) output array is handed
+    to consumers by reference; each consumer gathers its own column.
 
-    farm = StreamFarm(model, batch=1024, block_size=64)
+Dispatch stays DOUBLE-BUFFERED: JAX dispatches the device step
+asynchronously, so ``dispatch()`` launches block N and then publishes block
+N-1's result — the host's (now tiny) per-block work overlaps the device's
+compute. The device steps serialize on the carried ring state (exactly the
+reference's sequential-process contract, NAM/dsp.h:97).
+
+    farm = StreamFarm(model, batch=4096, block_size=128)
     farm.start()                      # reset + prewarm
     farm.push(stream_idx, block)      # from audio threads (any subset)
-    n = farm.dispatch()               # assemble -> launch step N, demux N-1
+    n = farm.dispatch()               # mask-scan -> launch N, publish N-1
     farm.flush()                      # drain the in-flight block
     out = farm.pull(stream_idx)
 
-With pipeline=False every dispatch() is synchronous (launch + demux the same
-block) — simpler latency accounting for tiny batches.
+With pipeline=False every dispatch() is synchronous. Multichannel models
+stream (C_in, T) blocks in and (C_out, T) blocks out; mono models use flat
+(T,) blocks.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..models.engine import StreamEngine
-from .native import RingPool
+from .native import Mailbox
 
 
 class StreamFarm:
@@ -50,27 +62,33 @@ class StreamFarm:
         self.batch = batch
         self.block_size = block_size
         self.pipeline = pipeline
-        if model.num_input_channels != 1 or model.num_output_channels != 1:
-            raise ValueError("StreamFarm currently serves mono-in/mono-out models")
+        self.cin = model.num_input_channels
+        self.cout = model.num_output_channels
         self.engine = StreamEngine(model, batch=batch, block_size=block_size)
-        self._in = RingPool(batch, queue_depth, block_size)
-        self._out = RingPool(batch, queue_depth, block_size)
+        self._mbox = Mailbox(batch, queue_depth, self.cin * block_size)
+        self.depth = self._mbox.depth
         self._state = None
-        # TWO assembly buffers, alternated per dispatch: jnp.asarray may
-        # alias the host buffer (zero-copy) or transfer it asynchronously,
-        # so block N's buffer must stay untouched until step N is known
-        # complete. Pipelined dispatch N+1 syncs step N (via _demux's
-        # np.asarray) before dispatch N+2 reuses N's buffer, so depth 2 is
-        # exactly enough.
-        self._assembly = [
-            np.zeros((block_size, batch), dtype=np.float32) for _ in range(2)
-        ]
-        self._abuf = 0
-        self._pending: Optional[object] = None  # device y of the in-flight block
-        # Output blocks dropped because a stream's output ring was full (the
-        # consumer fell behind) — the farm's xrun counter. Audio is real time:
-        # when the consumer lags, dropping is the correct behavior, but it
-        # must be observable.
+        self._epoch = 0
+        # Masked step: the engine step with the mailbox's fed-mask multiplied
+        # into the input ON DEVICE — the host never zeroes silent columns.
+        raw = self.engine.step_fn().__wrapped__
+        self._masked_step = jax.jit(
+            lambda p, s, x, m: raw(p, s, x * m[None, None, :]), donate_argnums=(1,)
+        )
+        # TWO mask staging buffers, alternated per dispatch: jnp.asarray may
+        # transfer asynchronously, so epoch N's mask must stay untouched
+        # until step N is enqueued with it; publish of N-1 syncs step N-1
+        # before N+1 reuses its buffer.
+        self._masks = [np.zeros(batch, np.float32) for _ in range(2)]
+        # Published outputs: epoch -> (C_out*T, B) numpy array, a sliding
+        # window of the last `depth` epochs.
+        self._out: Dict[int, np.ndarray] = {}
+        self._cursor = np.zeros(batch, np.int64)  # per-consumer next epoch
+        self._pending: Optional[Tuple[int, object]] = None  # in-flight (epoch, y)
+        # Blocks a consumer missed because it lagged more than `depth`
+        # epochs behind — the farm's xrun counter. Audio is real time: when
+        # the consumer lags, skipping forward is the correct behavior, but
+        # it must be observable.
         self.dropped = 0
 
     def start(self) -> None:
@@ -78,50 +96,78 @@ class StreamFarm:
         self._state = self.engine.reset()
 
     def push(self, stream: int, block: np.ndarray) -> bool:
-        """Producer side: enqueue one block for a stream. Returns False if
-        that stream's queue is full (backpressure)."""
-        return self._in.push(stream, block)
+        """Producer side: write one block — (T,) mono or (C_in, T) — for a
+        stream into the current epoch's slab. Returns False only if the
+        mailbox is full (producer ran ahead of dispatch by `depth` blocks)."""
+        return self._mbox.push(stream, block) >= 0
 
     def push_range(self, first: int, blocks: np.ndarray) -> int:
-        """Bulk producer: (n, T) blocks for streams [first, first+n)."""
-        return self._in.push_range(first, blocks)
+        """Bulk producer: (n, T) or (n, C_in, T) blocks for streams
+        [first, first+n)."""
+        blocks = np.ascontiguousarray(blocks, np.float32)
+        return self._mbox.push_range(first, blocks.reshape(blocks.shape[0], -1))
 
-    def pull(self, stream: int) -> Optional[np.ndarray]:
-        """Consumer side: dequeue one processed block for a stream."""
-        return self._out.pop(stream)
-
-    def _demux(self, y_device) -> None:
+    def _publish(self, epoch: int, y_device) -> None:
         # np.asarray(y) blocks until the device step is done; with pipeline
-        # on, the NEXT step is already dispatched and runs during the demux.
-        ok = self._out.push_all_tb(np.asarray(y_device[0]))
-        self.dropped += self.batch - ok
+        # on, the NEXT step is already dispatched and runs during the fetch.
+        y = np.asarray(y_device).reshape(self.cout * self.block_size, self.batch)
+        self._out[epoch] = y
+        stale = epoch - self.depth
+        if stale in self._out:
+            del self._out[stale]
+        # The device is done reading epoch's input slab: producers may reuse.
+        self._mbox.mark_consumed(epoch)
 
     def dispatch(self) -> int:
-        """Assemble one batch from the input queues (silent streams get
-        zeros) and launch the engine step. In pipelined mode, demuxes the
-        PREVIOUS block's output (call flush() to drain the last one); in
-        sync mode, demuxes this block's. Returns the number of streams that
-        had real input this block."""
+        """Scan the current epoch's fill flags into the device mask, launch
+        the engine step on the epoch's slab, and (pipelined) publish the
+        PREVIOUS block's output. Returns the number of streams that had real
+        input this block."""
         if self._state is None:
             raise RuntimeError("StreamFarm.dispatch before start()")
-        buf = self._assembly[self._abuf]
-        self._abuf ^= 1
-        fed = self._in.pop_all_tb(buf)
-        x = jnp.asarray(buf)[None]  # (1, T, B), async device put
-        y, self._state = self.engine.step_fn()(self.engine.params, self._state, x)
+        e = self._epoch
+        mask = self._masks[e & 1]
+        fed = self._mbox.assemble(e, mask)
+        x = jnp.asarray(self._mbox.slab(e)).reshape(
+            self.cin, self.block_size, self.batch
+        )
+        y, self._state = self._masked_step(
+            self.engine.params, self._state, x, jnp.asarray(mask)
+        )
+        self._epoch = e + 1
         if self.pipeline:
-            prev, self._pending = self._pending, y
+            prev, self._pending = self._pending, (e, y)
             if prev is not None:
-                self._demux(prev)
+                self._publish(*prev)
         else:
-            self._demux(y)
+            self._publish(e, y)
         return fed
 
     def flush(self) -> None:
         """Drain the in-flight block (pipelined mode)."""
         if self._pending is not None:
             prev, self._pending = self._pending, None
-            self._demux(prev)
+            self._publish(*prev)
+
+    def pull(self, stream: int) -> Optional[np.ndarray]:
+        """Consumer side: the stream's next processed block — (T,) mono or
+        (C_out, T) — or None if not yet published. A consumer more than
+        `depth` blocks behind skips forward (counted in ``dropped``)."""
+        if not self._out:
+            return None
+        newest = max(self._out)
+        oldest = min(self._out)
+        cur = int(self._cursor[stream])
+        if cur < oldest:
+            self.dropped += oldest - cur
+            cur = oldest
+        if cur > newest:
+            return None
+        out = self._mbox.gather(self._out[cur], stream)
+        self._cursor[stream] = cur + 1
+        if self.cout > 1:
+            return out.reshape(self.cout, self.block_size)
+        return out
 
     def run(self, num_blocks: int) -> None:
         for _ in range(num_blocks):

@@ -458,14 +458,102 @@ def test_tile_width_budget_model():
     below -> rows = (2 + 2*nc + K + 4) * 16."""
     m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_a1_standard.nam"))
     cfg = m.config
+    # Unpacked-path model (what non-wavefront configs use):
     # T=128: dilations all divide into whole chunks -> nc=2, rows=208
     assert stack._footprint_rows(cfg, 128) == 208
     # T=240: offset splices double the chunk reads -> nc=4, rows=272
     assert stack._footprint_rows(cfg, 240) == 272
+    # Default (wavefront off — measured negative, stack.py WAVEFRONT note):
+    # the unpacked picks, pinned to the on-device sweep.
     assert stack._pick_w(cfg, 64, 2048) == 1024    # 55 MB
     assert stack._pick_w(cfg, 128, 2048) == 512    # 52 MB; 1024 would be 109 MB
     assert stack._pick_w(cfg, 240, 2048) == 256    # 64 MB; 512 would be 128 MB
     assert stack._pick_w(cfg, 240, 2048 + 256) == 256  # width must divide batch
     assert stack._pick_w(cfg, 128, 128) == 128
+    # With the wavefront enabled, _pick_w budgets the wavefront footprint:
+    # D=6-deep input rings + head accumulators + dedicated shallow-tail
+    # buffers + static chunk scratch, per array, summed.
+    old = stack.WAVEFRONT
+    try:
+        stack.WAVEFRONT = True
+        assert stack._footprint_rows_wf(cfg, 64) == 424
+        assert stack._footprint_rows_wf(cfg, 128) == 424
+        assert stack._pick_w(cfg, 64, 2048) == 512   # 56 MB; 1024 would be 111 MB
+        assert stack._pick_w(cfg, 128, 2048) == 256  # 56 MB; 512 would be 111 MB
+        assert stack._pick_w(cfg, 240, 2048) == 128  # 61 MB
+    finally:
+        stack.WAVEFRONT = old
     # budget never admits a footprint beyond the raised Mosaic limit
     assert 272 * 240 * 256 * 4 <= stack.VMEM_BUDGET < stack.VMEM_LIMIT
+
+
+def test_wavefront_on_vs_off_exact():
+    """The wavefront-packed schedule is a pure reordering of the unpacked
+    kernel body: same outputs (within block-diagonal FMA-reorder noise, far
+    inside the reference's 5e-5 equivalence slack) AND identical carried
+    state layout/content (rings + tails), so checkpoints transfer between
+    the two paths."""
+    import jax.tree_util as jtu
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_a1_standard.nam"))
+    m.prewarm_on_reset = False
+    rng = np.random.default_rng(3)
+    T, n_blocks = 16, 6
+    x = (rng.standard_normal((B, n_blocks * T)) * 0.3).astype(np.float32)
+
+    outs, states = {}, {}
+    old = stack.WAVEFRONT
+    try:
+        for flag in (True, False):
+            stack.WAVEFRONT = flag
+            eng = StreamEngine(m, batch=B, block_size=T, kernel="pallas")
+            # wavefront applies (or not) per the flag
+            plan, _ = stack._build_plan_cached(m.config, T, B)
+            assert all(
+                (ap.wf is not None) == flag for net in plan.nets for ap in net.arrays
+            )
+            s = eng.reset(prewarm=False)
+            ys = []
+            for i in range(n_blocks):
+                y, s = eng.process(x[:, i * T : (i + 1) * T], s)
+                ys.append(np.asarray(y))
+            outs[flag] = np.concatenate(ys, axis=1)
+            states[flag] = s
+    finally:
+        stack.WAVEFRONT = old
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-5)
+    # identical state tree: rings and tails match leaf for leaf (ring
+    # contents are upstream layer inputs, so they carry the accumulated
+    # packed-dot FMA-reorder noise — measured 1.6e-5 after 6 blocks, inside
+    # the reference's own 5e-5 implementation-equivalence slack)
+    la, lb = jtu.tree_leaves(states[True]), jtu.tree_leaves(states[False])
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_wavefront_slimmable_and_odd_T():
+    """Slimmable wavenet (width 1.0) is wavefront-eligible; T=20 exercises
+    Tg=5 sub-tiles with off-power-of-2 splices."""
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "slimmable_wavenet.nam"))
+    m.set_slimmable_size(1.0)
+    active = m.active_model
+    old = stack.WAVEFRONT
+    try:
+        stack.WAVEFRONT = True
+        assert stack._wavefront_reason(active.config, 20) is None
+        _run_equivalence(active, T=20, n_blocks=6)
+    finally:
+        stack.WAVEFRONT = old
+
+
+def test_wavefront_gate_refuses_featureful_configs():
+    old = stack.WAVEFRONT
+    try:
+        stack.WAVEFRONT = True
+        m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_a2_max.nam"))
+        assert stack._wavefront_reason(m.config, 64) is not None
+        m2 = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_condition_dsp.nam"))
+        assert stack._wavefront_reason(m2.config, 64) is not None
+    finally:
+        stack.WAVEFRONT = old

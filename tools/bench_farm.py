@@ -1,23 +1,32 @@
 """Farm throughput benchmark: host dataplane vs bare engine step.
 
-Measures whether the StreamFarm's host loop (queue assembly -> device step
--> demux, double-buffered) can sustain the same stream count as the bare
-engine step (bench.py's number). Producers run on feeder threads pushing
-through the native SPSC ring pool, exactly the production topology
-(SURVEY.md §7 hard part #3).
+Measures whether the StreamFarm's host loop can sustain the same stream
+count as the bare engine step (bench.py's number). Producers run on feeder
+threads, exactly the production topology (SURVEY.md §7 hard part #3).
+
+Since round 4 the farm runs on the EPOCH MAILBOX dataplane
+(utils/native.py Mailbox): producers write blocks directly into the
+(C, T, B) device-layout slab (the layout transform rides the producer
+threads), and the dispatch thread's per-block host work is just the
+fill-flag mask scan plus publish bookkeeping — round 3's fused
+assembly/demux passes on the dispatch thread (5.6 ms/block at B=4096/T=128)
+are gone by construction.
 
 Three numbers:
   1. bare engine step (chained, single sync, tunnel round-trip subtracted) —
      the device-only floor;
-  2. host dataplane cost per block (feeder push + fused assembly + fused
-     demux, no device) — the work the double-buffered pipeline overlaps
-     with the device step;
+  2. host dataplane cost per block — everything the dispatch thread does
+     except device ops (mask scan + publish + consumed marking), measured
+     WITH feeder and drainer threads running at full rate. The report also
+     carries the average streams fed per block: if producers can't keep
+     pace, the fed count says so — the dispatch number alone can't hide a
+     starved feed path.
   3. the sustained farm rate. On THIS sandbox the TPU is behind an HTTP
      tunnel (~8 MB/s device->host), so fetching each block's (T, B) output
      dominates (3); that transfer is ~50 us on a locally attached chip.
      The deployable rate is max(1, 2) — reported as "projected".
 
-Usage: python tools/bench_farm.py [--batch 2048] [--block 64] [--blocks 300]
+Usage: python tools/bench_farm.py [--batch 4096] [--block 128] [--blocks 300]
 """
 
 from __future__ import annotations
@@ -70,18 +79,9 @@ def bench_bare(model, B, T, n_blocks):
     return {"p50": runs[1] * 1e6, "p99": runs[-1] * 1e6}, eng.kernel
 
 
-def bench_host_only(B, T, n_blocks, feeders):
-    """The host dataplane alone: feeder threads push through the ring pool,
-    the 'dispatch' does fused assembly + fused demux of a ready (T, B)
-    buffer — everything the pipeline must overlap with the device step."""
-    from neuralampmodelercore_tpu.utils.native import RingPool
-
-    pool_in = RingPool(B, 8, T)
-    pool_out = RingPool(B, 8, T)
-    assembly = np.zeros((T, B), np.float32)
-    result = np.zeros((T, B), np.float32)  # stand-in for the fetched output
-
-    stop = threading.Event()
+def _spawn_feeders(mbox_push_range, B, T, feeders, stop):
+    """Feeder threads writing (n, T) blocks straight into the mailbox slab —
+    the production producer topology. Returns the thread list."""
     per = B // feeders
 
     def feeder(fi):
@@ -90,28 +90,76 @@ def bench_host_only(B, T, n_blocks, feeders):
         n = per if fi < feeders - 1 else B - first
         blocks = (rng.standard_normal((n, T)) * 0.1).astype(np.float32)
         while not stop.is_set():
-            if pool_in.push_range(first, blocks) < n:
+            if mbox_push_range(first, blocks) < n:
                 time.sleep(0.0002)
+
+    return [threading.Thread(target=feeder, args=(fi,), daemon=True) for fi in range(feeders)]
+
+
+def bench_host_only(B, T, n_blocks, feeders):
+    """The dispatch thread's host work alone, with feeders + a drainer
+    running: mask-scan assemble, output publication bookkeeping (stand-in
+    result array), consumed marking. No device ops."""
+    from neuralampmodelercore_tpu.utils.native import Mailbox
+
+    mbox = Mailbox(B, 8, T)
+    result = np.zeros((T, B), np.float32)  # stand-in for the fetched output
+    out: dict = {}
+    stop = threading.Event()
+
+    pulled = [0]
 
     def drainer():
-        buf = np.zeros((T, B), np.float32)
-        while not stop.is_set():
-            if pool_out.pop_all_tb(buf) == 0:
-                time.sleep(0.0002)
+        # Consumer-side load: gather every stream's column from each
+        # published block (one native layout pass — what B audio-thread
+        # consumers do in aggregate).
+        from neuralampmodelercore_tpu.utils.native import transpose_tb_bt
 
-    threads = [threading.Thread(target=feeder, args=(fi,), daemon=True) for fi in range(feeders)]
+        cursor = 0
+        while not stop.is_set():
+            if not out:
+                time.sleep(0.0002)
+                continue
+            newest = max(out)
+            cursor = max(cursor, newest - 4)
+            if cursor > newest:
+                time.sleep(0.0002)
+                continue
+            arr = out.get(cursor)
+            if arr is not None:
+                transpose_tb_bt(arr)
+                pulled[0] += 1
+            cursor += 1
+
+    threads = _spawn_feeders(mbox.push_range, B, T, feeders, stop)
     threads.append(threading.Thread(target=drainer, daemon=True))
     for t in threads:
         t.start()
     time.sleep(0.05)
 
+    # The dispatch loop is PACED at the audio period (one dispatch per block
+    # deadline, as in production): what's measured is the dispatch thread's
+    # active host work per block, and whether the feeders fill each epoch
+    # within its period (the fed average) — an unpaced loop would assemble
+    # epochs faster than any real-time source produces them.
+    deadline_s = T / 48000.0
+    mask = np.zeros(B, np.float32)
     times = []
     fed_total = 0
-    for _ in range(n_blocks):
+    start = time.perf_counter()
+    for e in range(n_blocks):
         t0 = time.perf_counter()
-        fed_total += pool_in.pop_all_tb(assembly)
-        pool_out.push_all_tb(result)
+        fed_total += mbox.assemble(e, mask)
+        # publish: in production this is np.asarray(y) (device sync, excluded
+        # here) + window bookkeeping + consumed marking
+        out[e] = result
+        out.pop(e - 8, None)
+        if e >= 1:
+            mbox.mark_consumed(e - 1)
         times.append(time.perf_counter() - t0)
+        rem = start + (e + 1) * deadline_s - time.perf_counter()
+        if rem > 0:
+            time.sleep(rem)  # idle until the next audio period
     stop.set()
     for t in threads:
         t.join(timeout=1)
@@ -124,25 +172,15 @@ def bench_farm(model, B, T, n_blocks, feeders):
     farm = StreamFarm(model, batch=B, block_size=T, queue_depth=8)
     farm.start()
 
-    per = B // feeders
     stop = threading.Event()
 
-    def feeder(fi):
-        rng = np.random.default_rng(fi)
-        first = fi * per
-        n = per if fi < feeders - 1 else B - first
-        blocks = (rng.standard_normal((n, T)) * 0.1).astype(np.float32)
-        while not stop.is_set():
-            if farm.push_range(first, blocks) < n:
-                time.sleep(0.0002)
-
     def drainer():
-        buf = np.zeros((T, B), np.float32)
         while not stop.is_set():
-            if farm._out.pop_all_tb(buf) == 0:
+            got = any(farm.pull(s) is not None for s in range(0, B, max(B // 64, 1)))
+            if not got:
                 time.sleep(0.0002)
 
-    threads = [threading.Thread(target=feeder, args=(fi,), daemon=True) for fi in range(feeders)]
+    threads = _spawn_feeders(farm.push_range, B, T, feeders, stop)
     threads.append(threading.Thread(target=drainer, daemon=True))
     for t in threads:
         t.start()
@@ -164,8 +202,8 @@ def bench_farm(model, B, T, n_blocks, feeders):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--block", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--blocks", type=int, default=200)
     ap.add_argument("--feeders", type=int, default=4)
     ap.add_argument("--precision", default="high")
@@ -195,16 +233,15 @@ def main(argv=None) -> int:
     print(f"bare engine ({kernel}): p50={bare['p50']:.0f} p99={bare['p99']:.0f} us/block",
           flush=True)
 
+    farm, fed_f = bench_farm(model, args.batch, args.block, max(args.blocks // 4, 30),
+                             args.feeders)
+    print(f"farm loop (incl. tunnel D2H): p50={farm['p50']:.0f} p99={farm['p99']:.0f} "
+          f"us/block (avg {fed_f:.0f}/{args.batch} streams fed)", flush=True)
+
     projected = max(bare["p50"], host["p50"])
     print(f"projected farm rate (host || device overlap): {projected:.0f} us/block "
           f"-> real-time at B={args.batch}: {projected <= deadline_us} "
-          f"(host adds {max(0.0, (projected / bare['p50'] - 1)) * 100:.1f}% over bare)",
-          flush=True)
-
-    farm, fed = bench_farm(model, args.batch, args.block, args.blocks, args.feeders)
-    print(f"farm (this sandbox; ~8 MB/s tunnel D2H dominates): p50={farm['p50']:.0f} "
-          f"p90={farm['p90']:.0f} p99={farm['p99']:.0f} us/block "
-          f"(avg {fed:.0f}/{args.batch} streams fed)", flush=True)
+          f"(deadline {deadline_us:.0f} us)", flush=True)
     return 0
 
 
