@@ -600,21 +600,27 @@ def _watchdog_main():
         result = next((l for l in reversed(lines) if l.startswith("{")), None)
         if proc.returncode == 0 and result is not None:
             try:
-                value = json.loads(result).get("value", 0)
+                doc = json.loads(result)
+                value = doc.get("value", 0)
+                zeros = sum(
+                    1 for m in doc.get("models", {}).values() if not m.get("streams")
+                )
             except Exception:
-                value = 0
-            # A zero headline means the tunnel/chip was degraded for the
-            # whole run (observed: the same probe measuring 340 µs and
-            # 3,500 µs minutes apart during a bad-transport window) — treat
-            # it as a failed attempt and retry after a long backoff rather
-            # than recording weather as the round's number. The last
-            # attempt's result is still printed, zero or not.
-            if value > 0 or attempt == 2:
+                value, zeros = 0, 0
+            # A zero headline — or several per-config zeros — means the
+            # tunnel/chip was degraded during the run (observed: the same
+            # cached probe measuring 340 µs and 3,500 µs minutes apart in a
+            # bad-transport window; whole configs reading 0 that measured
+            # thousands of streams an hour earlier). Treat it as a failed
+            # attempt and retry after a backoff rather than recording
+            # weather as the round's number. The last attempt's result is
+            # still printed, degraded or not.
+            if (value > 0 and zeros < 3) or attempt == 2:
                 print(result)
                 return
-            print(f"# bench child returned value=0 (attempt {attempt + 1}); "
-                  "degraded transport suspected, backing off", file=sys.stderr)
-            time.sleep(600)
+            print(f"# bench child degraded (value={value}, zero-configs={zeros}, "
+                  f"attempt {attempt + 1}); backing off", file=sys.stderr)
+            time.sleep(600 if value == 0 else 180)
             continue
         print(f"# bench child failed rc={proc.returncode} (attempt {attempt + 1})", file=sys.stderr)
         time.sleep(90)
