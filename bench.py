@@ -356,11 +356,31 @@ def _write_table(out):
             f"{'yes' if farm.get('projected_realtime') else 'NO'} "
             f"({farm.get('streams_fed_per_block', 0):.0f} streams fed/block)."
         )
+    table = "\n".join(lines) + "\n"
     try:
         with open("/root/repo/BENCH_TABLE.md", "w") as f:
-            f.write("\n".join(lines) + "\n")
+            f.write(table)
     except OSError as e:  # read-only checkout etc. — table is advisory
         print(f"# could not write BENCH_TABLE.md: {e}", file=sys.stderr)
+        return
+    # Auto-splice README so the pair can never drift: every bench run —
+    # including the driver's end-of-round run — updates both files
+    # together, and tests/test_tools.py asserts they match.
+    try:
+        import re
+
+        with open("/root/repo/README.md") as f:
+            readme = f.read()
+        pattern = re.compile(
+            r"(<!-- BENCH:BEGIN[^\n]*-->\n).*?(<!-- BENCH:END -->)", re.DOTALL
+        )
+        new = pattern.sub(lambda m: m.group(1) + table.strip() + "\n" + m.group(2),
+                          readme, count=1)
+        if new != readme:
+            with open("/root/repo/README.md", "w") as f:
+                f.write(new)
+    except OSError as e:
+        print(f"# could not splice README.md: {e}", file=sys.stderr)
 
 
 def main():
