@@ -44,6 +44,7 @@ stream (C_in, T) blocks in and (C_out, T) blocks out; mono models use flat
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -72,8 +73,15 @@ class StreamFarm:
         # Masked step: the engine step with the mailbox's fed-mask multiplied
         # into the input ON DEVICE — the host never zeroes silent columns.
         raw = self.engine.step_fn().__wrapped__
+        # jnp.where, not x*m: a producer pushing a non-finite sample must not
+        # poison a MASKED column (0 * NaN = NaN would persist through
+        # recurrent state); where() gives exact zeros regardless of slab
+        # contents — bit-identical to the old host-zeroed assembly.
         self._masked_step = jax.jit(
-            lambda p, s, x, m: raw(p, s, x * m[None, None, :]), donate_argnums=(1,)
+            lambda p, s, x, m: raw(
+                p, s, jnp.where(m[None, None, :] != 0, x, jnp.zeros((), x.dtype))
+            ),
+            donate_argnums=(1,),
         )
         # TWO mask staging buffers, alternated per dispatch: jnp.asarray may
         # transfer asynchronously, so epoch N's mask must stay untouched
@@ -81,8 +89,15 @@ class StreamFarm:
         # before N+1 reuses its buffer.
         self._masks = [np.zeros(batch, np.float32) for _ in range(2)]
         # Published outputs: epoch -> (C_out*T, B) numpy array, a sliding
-        # window of the last `depth` epochs.
+        # window of the last `depth` epochs. Consumers (audio threads) read
+        # this window concurrently with the dispatch thread's publish;
+        # `_out_lock` guards the window so pull() can never observe a key
+        # being deleted between its bounds check and the indexing. The lock
+        # holds only dict bookkeeping (ns-scale) — the column gather runs
+        # outside it on the grabbed array reference, which is immutable
+        # after publication.
         self._out: Dict[int, np.ndarray] = {}
+        self._out_lock = threading.Lock()
         self._cursor = np.zeros(batch, np.int64)  # per-consumer next epoch
         self._pending: Optional[Tuple[int, object]] = None  # in-flight (epoch, y)
         # Blocks a consumer missed because it lagged more than `depth`
@@ -111,10 +126,9 @@ class StreamFarm:
         # np.asarray(y) blocks until the device step is done; with pipeline
         # on, the NEXT step is already dispatched and runs during the fetch.
         y = np.asarray(y_device).reshape(self.cout * self.block_size, self.batch)
-        self._out[epoch] = y
-        stale = epoch - self.depth
-        if stale in self._out:
-            del self._out[stale]
+        with self._out_lock:
+            self._out[epoch] = y
+            self._out.pop(epoch - self.depth, None)
         # The device is done reading epoch's input slab: producers may reuse.
         self._mbox.mark_consumed(epoch)
 
@@ -153,17 +167,19 @@ class StreamFarm:
         """Consumer side: the stream's next processed block — (T,) mono or
         (C_out, T) — or None if not yet published. A consumer more than
         `depth` blocks behind skips forward (counted in ``dropped``)."""
-        if not self._out:
-            return None
-        newest = max(self._out)
-        oldest = min(self._out)
-        cur = int(self._cursor[stream])
-        if cur < oldest:
-            self.dropped += oldest - cur
-            cur = oldest
-        if cur > newest:
-            return None
-        out = self._mbox.gather(self._out[cur], stream)
+        with self._out_lock:
+            if not self._out:
+                return None
+            newest = max(self._out)
+            oldest = min(self._out)
+            cur = int(self._cursor[stream])
+            if cur < oldest:
+                self.dropped += oldest - cur
+                cur = oldest
+            if cur > newest:
+                return None
+            block = self._out[cur]
+        out = self._mbox.gather(block, stream)
         self._cursor[stream] = cur + 1
         if self.cout > 1:
             return out.reshape(self.cout, self.block_size)

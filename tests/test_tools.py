@@ -526,3 +526,33 @@ def test_stream_farm_consumer_lag_drops():
     # never pulled: the published window slid past the consumer's cursor
     assert farm.pull(0) is not None
     assert farm.dropped == n_blocks - farm.depth
+
+
+def test_stream_farm_masked_nan_slab_is_exact_zero_input():
+    """A non-finite sample sitting in a MASKED stream's slab region (stale
+    producer garbage) must not leak into the step: the masked step uses
+    jnp.where, not x*mask, so the masked column's input is exact zeros and
+    its output is bit-identical to a benign zero-slab run (ADVICE r4)."""
+    from neuralampmodelercore_tpu.utils.streaming import StreamFarm
+
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
+    m.prewarm_on_reset = False
+
+    def run(poison):
+        farm = StreamFarm(m, batch=4, block_size=32, queue_depth=4)
+        farm.start()
+        rng = np.random.default_rng(0)
+        blocks = (rng.standard_normal((4, 32)) * 0.1).astype(np.float32)
+        for e in range(3):
+            if poison:
+                farm._mbox.slab(e).reshape(32, 4)[:, 2] = np.nan
+            for s in (0, 1, 3):
+                farm.push(s, blocks[s])
+            farm.dispatch()
+        farm.flush()
+        return [farm.pull(2) for _ in range(3)]
+
+    clean, poisoned = run(False), run(True)
+    for a, b in zip(clean, poisoned):
+        assert np.isfinite(b).all()
+        np.testing.assert_array_equal(a, b)
