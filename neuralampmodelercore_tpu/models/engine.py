@@ -114,6 +114,7 @@ class StreamEngine:
             prepare_fn, step_fn = registry.engine_fns(arch)
             self.kernel = "xla"
         self._prepare_fn = prepare_fn
+        self._step_raw = step_fn  # unjitted; prewarm's remainder step reuses it
         # Engine params are layout-transformed once at construction
         # (transposed / tap-stacked weights for the CTB layout).
         self._eparams, self._state0 = prepare_fn(
@@ -134,21 +135,36 @@ class StreamEngine:
         return state
 
     def prewarm(self, state: Any) -> Any:
-        """Process ceil(prewarm/T) zero blocks. For the feedforward
-        architectures this reaches the exact zero-input fixed point, so the
-        (< T) extra zero samples beyond the reference's exact count are
-        idempotent (state is a function of the last rf inputs, all zero)."""
+        """Process the prewarm samples as zero blocks. For the feedforward
+        architectures ceil(prewarm/T) blocks reach the exact zero-input
+        fixed point, so the (< T) extra zero samples beyond the reference's
+        exact count are idempotent (state is a function of the last rf
+        inputs, all zero). RECURRENT architectures (LSTM) have no such fixed
+        point within the prewarm horizon: extra zero steps keep moving
+        (h, c), so the reference's exact count (NAM/lstm.cpp:127-134) is
+        honored by running the `n mod T` remainder through a step jitted at
+        the remainder block size — legal because a recurrent engine's
+        eparams/state layouts are block-size independent."""
         n = self.model.get_prewarm_samples()
         if n <= 0 and self.pipeline_blocks == 0:
             return state
+        cin = self.model.num_input_channels
+        full, rem = divmod(max(n, 0), self.block_size)
+        arch = registry.arch_for_config(self.model.config)
+        if rem and not arch.recurrent:
+            full, rem = full + 1, 0  # ceil: idempotent at the fixed point
         # The wavefront tier needs pipeline_blocks extra zero blocks to fill
         # its stage pipeline from the zero-input fixed point.
-        blocks = (-(-n // self.block_size) if n > 0 else 0) + self.pipeline_blocks
-        zeros = jnp.zeros(
-            (self.model.num_input_channels, self.block_size, self.batch), dtype=jnp.float32
-        )
-        for _ in range(blocks):
+        zeros = jnp.zeros((cin, self.block_size, self.batch), dtype=jnp.float32)
+        for _ in range(full + self.pipeline_blocks):
             _, state = self._jitted_step(self.params, state, zeros)
+        if rem:
+            rem_step = jax.jit(
+                partial(self._step_raw, self.model.config, rem), donate_argnums=(1,)
+            )
+            _, state = rem_step(
+                self.params, state, jnp.zeros((cin, rem, self.batch), jnp.float32)
+            )
         return state
 
     def reset(self, prewarm: Optional[bool] = None) -> Any:

@@ -240,5 +240,6 @@ registry.register_architecture(
         out_channels=lambda c: c.out_channels,
         engine_prepare=engine_prepare,
         engine_step=engine_step,
+        recurrent=True,
     )
 )

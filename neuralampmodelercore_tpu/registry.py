@@ -53,6 +53,15 @@ class ArchDef:
     engine_prepare: Optional[Callable[[Config, Params, int, int], Tuple[Params, State]]] = None
     # engine_step(config, T, eparams, state, x_ctb) -> (y_ctb, state')
     engine_step: Optional[Callable[..., Tuple[Any, State]]] = None
+    # Recurrent architectures (LSTM) carry state that is NOT a pure function
+    # of the last receptive-field inputs, so prewarming with ceil(n/T) zero
+    # blocks runs extra recurrence steps past the reference's exact count
+    # (NAM/lstm.cpp:127-134: 0.5 s = 24,000 samples). When True — and the
+    # engine's eparams/state layouts are block-size independent, which a
+    # recurrent arch's are (h/c carries, no rings) — StreamEngine.prewarm
+    # runs the `n mod T` remainder through a separately-jitted step at the
+    # remainder block size, making the engine prewarm EXACT-count.
+    recurrent: bool = False
 
 
 def engine_fns(arch: ArchDef):

@@ -54,6 +54,41 @@ def test_engine_prewarm_matches_generic_prewarm():
     np.testing.assert_allclose(np.asarray(ye), np.asarray(yg), atol=1e-6)
 
 
+def test_engine_prewarm_exact_count_for_recurrent():
+    """LSTM prewarm is 0.5 s = 24,000 samples (reference NAM/lstm.cpp:127-134)
+    and (h, c) has no zero-input fixed point within that horizon, so the
+    engine must honor the EXACT count even when T does not divide it
+    (T=128 -> 187 full blocks + a 64-sample remainder step): the prewarmed
+    engine must produce the same first output block as the exact-count
+    generic prewarm."""
+    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "lstm.nam"))
+    assert m.get_prewarm_samples() == 24000
+    T = 128
+    assert m.get_prewarm_samples() % T != 0
+
+    gstate = m.reset(1, max_buffer_size=T)  # generic: exact count
+    eng = StreamEngine(m, batch=1, block_size=T)
+    estate = eng.reset()  # engine: full blocks + remainder step
+
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((1, T)) * 0.3).astype(np.float32)
+    yg, _ = m.process(x, gstate)
+    ye, _ = eng.process(x, estate)
+    np.testing.assert_allclose(np.asarray(ye), np.asarray(yg), atol=1e-6)
+
+    # Sensitivity check: the ceil-to-block-grid count (64 extra recurrence
+    # steps) produces a measurably different state — i.e. the remainder
+    # logic is load-bearing, not vacuously passing.
+    ceil_state = eng.init_state()
+    import jax.numpy as jnp
+
+    zeros = jnp.zeros((1, T, 1), np.float32)
+    for _ in range(-(-24000 // T)):
+        _, ceil_state = eng.step_fn()(eng.params, ceil_state, zeros)
+    y_ceil, _ = eng.process(x, ceil_state)
+    assert np.abs(np.asarray(y_ceil) - np.asarray(yg)).max() > 0
+
+
 def test_engine_rejects_wrong_block():
     m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet.nam"))
     m.prewarm_on_reset = False

@@ -133,6 +133,30 @@ def test_fori_loop_long_block():
     _run_equivalence(m, T=160, n_blocks=2)
 
 
+def test_engine_prewarm_exact_count_pallas_tier():
+    """The exact-count recurrent prewarm (full blocks + remainder step,
+    models/engine.py) must hold on the PALLAS tier too: the remainder step
+    re-jits the kernel at the remainder block size against the same
+    eparams/state (both are T-independent for the LSTM kernel). Uses a
+    small sample_rate so 0.5 s of prewarm (reference NAM/lstm.cpp:127-134)
+    stays cheap in interpret mode: sr=496 -> 248 samples = 15 x T=16 + 8."""
+    doc = make_nam(
+        "LSTM", {"num_layers": 1, "input_size": 1, "hidden_size": 8},
+        seed=9, sample_rate=496,
+    )
+    m = nam.load_model(doc)
+    T = 16
+    assert m.get_prewarm_samples() == 248 and 248 % T != 0
+    ex = StreamEngine(m, batch=B, block_size=T, kernel="xla")
+    ep = StreamEngine(m, batch=B, block_size=T, kernel="pallas")
+    sx, sp = ex.reset(prewarm=True), ep.reset(prewarm=True)
+    rng = np.random.default_rng(11)
+    blk = (rng.standard_normal((B, T, 1)) * 0.4).astype(np.float32)
+    yx, _ = ex.process(blk, sx)
+    yp, _ = ep.process(blk, sp)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yx), atol=2e-5)
+
+
 def test_fori_matches_unrolled_across_boundary():
     """The two kernel forms agree through a block-size change (same state
     semantics either side of the T=128 form boundary)."""
