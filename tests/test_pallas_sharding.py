@@ -36,9 +36,13 @@ from conftest import EXAMPLE_MODELS
 
 @pytest.fixture(autouse=True)
 def _interpret_mode():
+    from neuralampmodelercore_tpu.ops.pallas import convnet as pconv
+
     stack.INTERPRET = True
+    pconv.INTERPRET = True
     yield
     stack.INTERPRET = False
+    pconv.INTERPRET = False
 
 
 def _compare_sharded(model, n_devices, T, n_blocks=3, atol_xla=2e-5, seed=0):
@@ -80,6 +84,23 @@ def test_dp_sharded_pallas_flagship_2dev():
     """Flagship architecture (deep dilations, 2 arrays) on a 2-device mesh."""
     m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_a1_standard.nam"))
     _compare_sharded(m, n_devices=2, T=16, n_blocks=2)
+
+
+def test_dp_sharded_pallas_convnet_2dev():
+    """The fused ConvNet kernel (ops/pallas/convnet.py) under stream-DP
+    shard_map: same rings/tails state layout as the stack kernel, so the
+    sharding specs apply unchanged."""
+    from neuralampmodelercore_tpu.tools.generate import make_nam
+
+    m = nam.load_model(
+        make_nam(
+            "ConvNet",
+            {"channels": 8, "dilations": [1, 4, 16], "batchnorm": True,
+             "activation": "Tanh"},
+            seed=7,
+        )
+    )
+    _compare_sharded(m, n_devices=2, T=8, n_blocks=4)
 
 
 def test_dp_sharded_pallas_condition_dsp():

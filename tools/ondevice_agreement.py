@@ -73,6 +73,15 @@ def models():
             seed=13,
         )),
     ))
+    out.append((
+        "convnet",
+        nam.load_model(make_nam(
+            "ConvNet",
+            {"channels": 16, "dilations": [1, 2, 4, 8, 16, 32, 64, 128, 256, 512],
+             "batchnorm": True, "activation": "Tanh"},
+            seed=7,
+        )),
+    ))
     return out
 
 
@@ -82,6 +91,9 @@ def main(argv=None) -> int:
     ap.add_argument("--block-size", type=int, default=64)
     ap.add_argument("--batches", default="256,512")
     ap.add_argument("--atol", type=float, default=5e-5)
+    ap.add_argument("--json", default=None,
+                    help="write per-config max-abs-diff results to this path "
+                         "(the committed round artifact, VERDICT r4 ask #7)")
     args = ap.parse_args(argv)
 
     from neuralampmodelercore_tpu.models.engine import StreamEngine
@@ -89,27 +101,41 @@ def main(argv=None) -> int:
 
     T = args.block_size
     ok = True
+    results = {}
     for B in (int(b) for b in args.batches.split(",")):
         for name, model in models():
             model.prewarm_on_reset = False
             reason = backend_for(model.config).supports(model.config, T, B)
             if reason is not None:
                 print(f"SKIP {name:22s} B={B}: {reason}", flush=True)
+                results[f"{name}@B{B}"] = {"skipped": reason}
                 continue
             ex = StreamEngine(model, batch=B, block_size=T, kernel="xla")
             ep = StreamEngine(model, batch=B, block_size=T, kernel="pallas")
             sx, sp = ex.reset(prewarm=False), ep.reset(prewarm=False)
             rng = np.random.default_rng(0)
+            C = model.num_input_channels
             worst = 0.0
             for i in range(args.blocks):
-                x = (rng.standard_normal((B, T)) * 0.3).astype(np.float32)
+                x = (rng.standard_normal((B, T, C)) * 0.3).astype(np.float32)
+                if C == 1:
+                    x = x[:, :, 0]
                 yx, sx = ex.process(x, sx)
                 yp, sp = ep.process(x, sp)
                 worst = max(worst, float(np.abs(np.asarray(yx) - np.asarray(yp)).max()))
             status = "OK " if worst <= args.atol else "FAIL"
             if worst > args.atol:
                 ok = False
+            results[f"{name}@B{B}"] = {"max_abs_diff": worst, "ok": worst <= args.atol}
             print(f"{status} {name:22s} B={B} H={B // 128}: max abs diff {worst:.2e}", flush=True)
+    if args.json:
+        import json
+
+        doc = {"block_size": T, "atol": args.atol, "blocks": args.blocks,
+               "all_ok": ok, "configs": results}
+        with open(args.json, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"# wrote {args.json}", flush=True)
     return 0 if ok else 1
 
 
