@@ -184,42 +184,12 @@ def _pick_w(cfg, T: int, batch: int) -> int:
     of the next)."""
     if _wavefront_reason(cfg, T) is None:
         rows = _footprint_rows_wf(cfg, T)
-        pk_extra = 0
     else:
         rows = _footprint_rows(cfg, T)
-        # MXU-call packing (active at H >= 4 for film-free arrays) holds the
-        # up-to-128-row packed operand plus per-half aout values beyond the
-        # unpacked model; +64 rows matches the on-device compile check at
-        # the flagship point (W=512, T=128 compiles in budget).
-        pk_extra = 64 if PACKED and any(
-            all(_layer_has_no_film(c, ai) for ai in range(len(c.layer_arrays)))
-            for c in _cfg_chain(cfg)
-        ) else 0
     for w in (1024, 512, 256, 128):
-        r = rows + (pk_extra if w >= 512 else 0)
-        if batch % w == 0 and r * T * w * 4 <= VMEM_BUDGET:
+        if batch % w == 0 and rows * T * w * 4 <= VMEM_BUDGET:
             return w
     return 0  # not even a 128-stream tile fits: caller must fall back
-
-
-def _cfg_chain(cfg):
-    out = [cfg]
-    c = getattr(cfg, "condition_config", None)
-    while c is not None:
-        out.append(c)
-        c = getattr(c, "condition_config", None)
-    return out
-
-
-def _layer_has_no_film(cfg, ai) -> bool:
-    from ...models.wavenet import FILM_SITES, _layer_film_spec
-
-    ac = cfg.layer_arrays[ai]
-    return all(
-        _layer_film_spec(ac, li, site) is None
-        for li in range(ac.num_layers)
-        for site in FILM_SITES
-    )
 
 # Interpret mode for CPU testing (tests/test_pallas_stack.py sets this).
 INTERPRET = False
@@ -337,26 +307,6 @@ class _LayerPlan:
 
 
 @dataclasses.dataclass(frozen=True)
-class _PackedCall:
-    """One MXU call of the packed schedule: a block-diagonal dot computing
-    the convs of `convs` halves at layer `li` (li == -1: trailing call, no
-    convs) together with the deferred layer1x1/head1x1 dots of `pend`
-    (li_src, half) pairs whose activation outputs are already final. Zeros
-    in the off-diagonal weight blocks contribute exact zeros, so results
-    are bit-identical to the individual padded dots."""
-
-    w: int  # packed weight index
-    li: int
-    convs: Tuple[int, ...]
-    pend: Tuple[Tuple[int, int], ...]
-
-
-@dataclasses.dataclass(frozen=True)
-class _PackedPlan:
-    calls: Tuple[_PackedCall, ...]
-
-
-@dataclasses.dataclass(frozen=True)
 class _ArrayPlan:
     C: int  # channels
     I: int  # input size
@@ -375,7 +325,6 @@ class _ArrayPlan:
     wsem: int
     n_chunk_bufs: int
     wf: Optional[_WfPlan] = None  # wavefront packing (None => unpacked path)
-    packed: Optional[_PackedPlan] = None  # MXU-call packing (None => per-half dots)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -485,26 +434,27 @@ WAVEFRONT = False
 # the headline point (B=4096, T=128) this is 1.6x SLOWER (3,086 -> 4,966
 # us/block raw-loop): the row concat it removes is cheap, while each extra
 # dot call costs ~1.5 us regardless of its contraction depth (the MXU tiles
-# M and K to 128 either way). That measurement is what motivated PACKED
-# below — the win is FEWER dot calls with fuller tiles, not fewer copies.
-# Kept for A/B re-testing; equivalence-tested both ways.
+# M and K to 128 either way). That measurement pinned the dot cost law in
+# the plateau note below. Kept for A/B re-testing; equivalence-tested both
+# ways.
 TAP_DOTS = False
 
-# MXU-call packing (round 5): the flagship's dots are (16, 48) x (48, T*W) —
-# ~5% of the 128x128 MXU tile — and the microbench cost curve is sublinear
-# in M (a (64,128) call costs ~8.7 us where the four (16,*) calls it
-# replaces cost ~16 us; tools/microbench_pallas_dots.py round-5 sweep). So
-# pack multiple INDEPENDENT small dots into one call with block-diagonal
-# weights: two halves' conv dots of layer li + the deferred layer1x1 (and
-# head1x1) dots resolving the convs of the NEXT call, software-pipelined so
-# every operand is final when its call issues (the layer1x1 of layer li-1,
-# half h lands one call before the conv of layer li, half h that needs it).
-# K fills to 2*K*C + 2*bottleneck = 128 exactly at the flagship shape.
-# Zeros in the off-diagonal blocks contribute exact zeros, so outputs are
-# bit-identical to the unpacked dots. Prototype measured 3.8x on the
-# emulated array pass (575 -> 153 us, L=10 H=4 N=16384). Per-array gate:
-# no FiLM sites, H >= 4.
-PACKED = True
+# Round-5 kernel-plateau attribution (measured on-device via _ABLATE at
+# B=4096, T=128, flagship; docs/performance.md has the full table). The
+# step decomposes ADDITIVELY: dots ~1,880 us + exposed DMA ~290 us + VPU
+# floor ~400 us ~= the 2,5xx us step — VPU work does not hide under the
+# MXU here. Dot time follows a strict cost law: proportional to OUTPUT
+# ROWS x COLUMNS, independent of contraction depth up to the 128-deep MXU
+# tile, and 3x cheaper at 1-pass DEFAULT precision (1,371 us whole-step —
+# but 4.5e-2 error, far outside the 5e-5 reference gate). Five structural
+# restructurings all landed on the same plateau, each implemented, tested
+# and then removed (git history): per-tap dots (+60%: tripled call count
+# at fixed M*N), block-diagonal MXU-call coalescing (2 convs + 2 layer1x1
+# per call, K=128: -7%..0), W_TILE 256/512 (0), W=1024 tiles (VMEM
+# thrash), deferred-layer1x1 K-folding (-10% M*N volume: 0). Conclusion:
+# at C=16 channels and 3-pass f32, the headline step is at its structural
+# floor; the remaining levers are precision (blocked by the reference
+# equivalence gate) and hardware with a different small-M matmul rate.
 WF_G = 4  # time sub-tiles; 4 quantizes best against 128-row K-tiles at the
 #           flagship's K*C=48 (ceil(48*4/128)=2 passes for 4 packed layers)
 #           and keeps the input-ring VMEM footprint at parity with the
@@ -672,62 +622,6 @@ def _dense_conv_w(p: Dict, K: int, cin: int, cout: int) -> np.ndarray:
     return np.asarray(p["w"], dtype=np.float32)
 
 
-def _build_packed_schedule(packed_np, H: int, add_w) -> _PackedPlan:
-    """Static MXU-call schedule for one array (see the PACKED flag comment).
-
-    Conv jobs (one per half per layer) are grouped two-per-call when the
-    K/M budgets allow; each call also carries the deferred layer1x1/head1x1
-    jobs that resolve the NEXT call's conv inputs, so every operand is final
-    in program order when its call issues. Trailing calls flush the last
-    layer's deferred jobs. Weights are block-diagonal; zero blocks contribute
-    exact zeros, so outputs are bit-identical to the unpacked dots."""
-    L = len(packed_np)
-
-    def pend_shape(li):
-        p = packed_np[li]["pend"]
-        return (0, 0) if p is None else p.shape
-
-    groups: List[Tuple[int, Tuple[int, ...]]] = []
-    for li, ln in enumerate(packed_np):
-        pm, pk = pend_shape(li - 1) if li >= 1 else (0, 0)
-        g = 2 if (2 * ln["KC"] + 2 * pk <= 128 and 2 * ln["conv_out"] + 2 * pm <= 128) else 1
-        for s in range(0, H, g):
-            groups.append((li, tuple(range(s, min(s + g, H)))))
-
-    def resolve_jobs(li, halves):
-        # x(li) of these halves is finalized by layer li-1's deferred dots
-        if li < 1 or packed_np[li - 1]["pend"] is None:
-            return ()
-        return tuple((li - 1, h) for h in halves)
-
-    raw: List[Tuple[int, Tuple[int, ...], Tuple[Tuple[int, int], ...]]] = []
-    for gi, (li, halves) in enumerate(groups):
-        pend = resolve_jobs(*groups[gi + 1]) if gi + 1 < len(groups) else ()
-        ln = packed_np[li]
-        kc = len(halves) * ln["KC"] + sum(pend_shape(s)[1] for s, _ in pend)
-        mc = len(halves) * ln["conv_out"] + sum(pend_shape(s)[0] for s, _ in pend)
-        if pend and (kc > 128 or mc > 128):
-            raw.append((li, halves, ()))
-            raw.append((-1, (), pend))
-        else:
-            raw.append((li, halves, pend))
-    if packed_np[-1]["pend"] is not None:
-        pm, pk = pend_shape(L - 1)
-        per = max(1, min(128 // max(pk, 1), 128 // max(pm, 1)))
-        jobs = [(L - 1, h) for h in range(H)]
-        for s in range(0, H, per):
-            raw.append((-1, (), tuple(jobs[s : s + per])))
-
-    calls: List[_PackedCall] = []
-    for li, convs, pend in raw:
-        blocks = [packed_np[li]["conv"]] * len(convs) if convs else []
-        blocks += [packed_np[s]["pend"] for s, _ in pend]
-        calls.append(
-            _PackedCall(w=add_w(_blockdiag(list(blocks))), li=li, convs=convs, pend=pend)
-        )
-    return _PackedPlan(calls=tuple(calls))
-
-
 def _build_plan(cfg, params, T: int, batch: int):
     """Static plan + flat weight list. Deterministic given (cfg, T, batch)."""
     from ...models.wavenet import FILM_SITES, _layer_film_spec
@@ -799,7 +693,6 @@ def _build_plan(cfg, params, T: int, batch: int):
         layer_plans: List[_LayerPlan] = []
         n_chunk_bufs = 0
         any_pre_film = False
-        packed_np: List[Dict[str, Any]] = []  # per-layer blocks for MXU-call packing
         # Per-layer dense engine-layout weights, stashed for the wavefront
         # packed-weight build below (values identical to the unpacked
         # weights; the packing is block-diagonal concatenation).
@@ -845,26 +738,14 @@ def _build_plan(cfg, params, T: int, batch: int):
             conv_b = add_w(np.asarray(lp["conv"]["b"])[:, None])
             mixin_w = add_w(_dense_1x1_w(lp["mixin"], S, conv_out).T)  # (conv_out, S)
             l1_w = l1_b = h1_w = h1_b = -1
-            pend_blocks: List[np.ndarray] = []
             if ac.layer1x1_active:
                 l1_np = _dense_1x1_w(lp["layer1x1"], ac.bottleneck, C).T  # (C, bn)
                 l1_w = add_w(l1_np)
                 l1_b = add_w(np.asarray(lp["layer1x1"]["b"])[:, None])
-                pend_blocks.append(np.asarray(l1_np, np.float32))
             if ac.head1x1_active:
                 h1_np = _dense_1x1_w(lp["head1x1"], ac.bottleneck, ac.head1x1_out_channels).T
                 h1_w = add_w(h1_np)
                 h1_b = add_w(np.asarray(lp["head1x1"]["b"])[:, None])
-                pend_blocks.append(np.asarray(h1_np, np.float32))
-            packed_np.append(
-                {
-                    "conv": np.asarray(conv_np, np.float32),
-                    # deferred dots sharing the aout operand: [layer1x1; head1x1]
-                    "pend": np.concatenate(pend_blocks, axis=0) if pend_blocks else None,
-                    "KC": K * C,
-                    "conv_out": conv_out,
-                }
-            )
             films: List[Tuple[str, int, int, int, bool]] = []
             for site in FILM_SITES:
                 fspec = _layer_film_spec(ac, li, site)
@@ -977,17 +858,6 @@ def _build_plan(cfg, params, T: int, batch: int):
         else:
             wsem = -1
 
-        packed: Optional[_PackedPlan] = None
-        if (
-            PACKED
-            and wf is None
-            and H >= 4
-            and H % 2 == 0
-            and L >= 1
-            and all(not lpn.films for lpn in layer_plans)
-        ):
-            packed = _build_packed_schedule(packed_np, H, add_w)
-
         arrays.append(
             _ArrayPlan(
                 C=C, I=I, S=S, L=L,
@@ -998,7 +868,6 @@ def _build_plan(cfg, params, T: int, batch: int):
                 rsem=rsem, wsem=wsem,
                 n_chunk_bufs=n_chunk_bufs,
                 wf=wf,
-                packed=packed,
             )
         )
 
@@ -1502,196 +1371,6 @@ def _make_kernel(plan: _Plan):
             ]
             return new_prev, new_head
 
-        def pk_array(ap, prev_out, head_acc):
-            """MXU-call-packed array pass (see the PACKED flag comment).
-
-            Per _PackedCall: one block-diagonal dot computes the convs of a
-            half-group at layer li together with the deferred layer1x1 /
-            head1x1 dots that finalize the NEXT call's conv inputs. All
-            layer inputs live as SSA values (xs); the cur scratch exists
-            only as the DMA source for ring/tail state writes. Semantics
-            and numerics identical to the unpacked path (zero blocks
-            contribute exact zeros)."""
-            C = ap.C
-            cur = scr[ap.cur_scr]
-            chunks = scr[ap.chunk_scr] if ap.chunk_scr >= 0 else None
-            rsem = scr[ap.rsem] if ap.rsem >= 0 else None
-            wsem = scr[ap.wsem]
-            pending_w = {0: [], 1: []}
-            hr_read = tail_conv_start_read(ap.hr)
-
-            def issue_reads(li):
-                lp = ap.layers[li]
-                if lp.tail >= 0:
-                    dma = _mk_copy(
-                        ti[lp.tail].at[i],
-                        chunks.at[li % 2, 0, :, pl.ds(0, H * lp.rf * W)],
-                        rsem.at[li % 2, 0],
-                    )
-                    dma.start()
-                    return [dma]
-                ds = []
-                for bi, j in enumerate(lp.js):
-                    s = slots_ref[lp.slot_base + bi]
-                    dma = _mk_copy(
-                        rr[lp.ring].at[s, i], chunks.at[li % 2, bi], rsem.at[li % 2, bi]
-                    )
-                    dma.start()
-                    ds.append(dma)
-                return ds
-
-            def needs_read(lp):
-                return bool(lp.js) or lp.tail >= 0
-
-            def resolves(li):
-                lp = ap.layers[li]
-                return lp.l1_w >= 0 or lp.h1_w >= 0
-
-            # x(0) from the rechannel; xs[h] always holds the newest resolved x
-            xs = [_small_dot(wr[ap.rech_w][:], prev_out[h]) for h in range(H)]
-            aouts = {}  # (li, h) -> activation output value awaiting deferred dots
-            started = set()
-            stored = {}  # li -> halves stored (triggers the whole-buffer ring write)
-            reads_by_layer = {}
-            if ap.layers and needs_read(ap.layers[0]):
-                reads_by_layer[0] = issue_reads(0)
-
-            def store_x(li, h, val):
-                # publish x(li) half h: cur scratch (DMA source) + state write
-                lp = ap.layers[li]
-                p = li % 2
-                cur[p, :C, h * TWh : (h + 1) * TWh] = val
-                if lp.tail >= 0:
-                    rfW = lp.rf * W
-                    wd = _mk_copy(
-                        cur.at[p, :, pl.ds(h * TWh + (T - lp.rf) * W, rfW)],
-                        to[lp.tail].at[i, :, pl.ds(h * rfW, rfW)],
-                        wsem.at[p, h],
-                    )
-                    wd.start()
-                    pending_w[p].append(wd)
-                stored[li] = stored.get(li, 0) + 1
-                if stored[li] == H and lp.M:
-                    wslot = slots_ref[lp.slot_base + len(lp.js)]
-                    wd = _mk_copy(
-                        cur.at[p], ro[lp.ring].at[wslot, i], wsem.at[p, H]
-                    )
-                    wd.start()
-                    pending_w[p].append(wd)
-
-            def ensure_started(li):
-                # Once per layer, before its first x-store / conv call:
-                # free the parity (layer li-2's state DMAs must land before
-                # cur[p] is overwritten), wait li's chunk reads (the tail
-                # read must also complete before the tail WRITE reuses the
-                # HBM slot), start li+1's reads (their parity is now free).
-                if li in started:
-                    return
-                started.add(li)
-                p = li % 2
-                for wd in pending_w[p]:
-                    wd.wait()
-                pending_w[p] = []
-                for dma in reads_by_layer.pop(li, ()):
-                    dma.wait()
-                if li + 1 < ap.L and needs_read(ap.layers[li + 1]):
-                    reads_by_layer[li + 1] = issue_reads(li + 1)
-                if li >= 1 and not resolves(li - 1):
-                    # previous layer has no deferred dots: x(li) = x(li-1)
-                    for h in range(H):
-                        store_x(li, h, xs[h])
-
-            ensure_started(0)
-            for h in range(H):
-                store_x(0, h, xs[h])
-
-            def win_pk(li, a_lb, h):
-                lp = ap.layers[li]
-                if a_lb == 0:
-                    return xs[h]
-                if lp.tail >= 0:
-                    base = h * lp.rf * W
-                    left = chunks[
-                        li % 2, 0, :C, base + (lp.rf - a_lb) * W : base + lp.rf * W
-                    ]
-                    if a_lb == T:
-                        return left
-                    return jnp.concatenate([left, xs[h][:, : (T - a_lb) * W]], axis=1)
-                j, o = divmod(a_lb, T)
-
-                def chk(j):
-                    if j == 0:
-                        return xs[h]
-                    return chunks[li % 2, lp.js.index(j), :C, h * TWh : (h + 1) * TWh]
-
-                if o == 0:
-                    return chk(j)
-                return jnp.concatenate(
-                    [chk(j + 1)[:, (T - o) * W :], chk(j)[:, : (T - o) * W]], axis=1
-                )
-
-            for call in ap.packed.calls:
-                ops = []
-                if call.li >= 0:
-                    ensure_started(call.li)
-                    lp = ap.layers[call.li]
-                    for h in call.convs:
-                        for a_lb in lp.lookbacks:
-                            ops.append(win_pk(call.li, a_lb, h))
-                for ls, h in call.pend:
-                    ops.append(aouts.pop((ls, h)))
-                operand = jnp.concatenate(ops, axis=0) if len(ops) > 1 else ops[0]
-                out = _dot(wr[call.w][:], operand)
-                r = 0
-                if call.li >= 0:
-                    lp = ap.layers[call.li]
-                    for h in call.convs:
-                        z = out[r : r + lp.conv_out] + wr[lp.conv_b][:]
-                        r += lp.conv_out
-                        z = z + _small_dot(wr[lp.mixin_w][:], cond[h])
-                        bn = lp.bn
-                        if lp.gating == NONE:
-                            aout = act.apply(lp.act1, z, channel_axis=0)
-                        elif lp.gating == GATED:
-                            aout = act.apply(lp.act1, z[:bn], channel_axis=0) * act.apply(
-                                lp.act2, z[bn:], channel_axis=0
-                            )
-                        else:  # BLENDED
-                            alpha = act.apply(lp.act2, z[bn:], channel_axis=0)
-                            aout = (
-                                alpha * act.apply(lp.act1, z[:bn], channel_axis=0)
-                                + (1.0 - alpha) * z[:bn]
-                            )
-                        if resolves(call.li):
-                            aouts[(call.li, h)] = aout
-                        if lp.h1_w < 0:
-                            head_acc[h] = (
-                                aout if head_acc[h] is None else head_acc[h] + aout
-                            )
-                for ls, h in call.pend:
-                    lp_s = ap.layers[ls]
-                    nxt = xs[h]
-                    if lp_s.l1_w >= 0:
-                        nxt = nxt + (out[r : r + C] + wr[lp_s.l1_b][:])
-                        r += C
-                    if lp_s.h1_w >= 0:
-                        nh = wr[lp_s.h1_w].shape[0]
-                        hd = out[r : r + nh] + wr[lp_s.h1_b][:]
-                        r += nh
-                        head_acc[h] = hd if head_acc[h] is None else head_acc[h] + hd
-                    xs[h] = nxt
-                    if ls + 1 < ap.L:
-                        ensure_started(ls + 1)
-                        store_x(ls + 1, h, nxt)
-
-            for p in (0, 1):
-                for wd in pending_w[p]:
-                    wd.wait()
-                pending_w[p] = []
-
-            new_head = tail_conv_apply(ap.hr, head_acc, hr_read)
-            return list(xs), new_head
-
         for ni, net in enumerate(plan.nets):
           # Each net (fused condition DSPs first, then the main model)
           # consumes the raw input; non-final nets' outputs become the next
@@ -1702,9 +1381,6 @@ def _make_kernel(plan: _Plan):
           for ap in net.arrays:
             if ap.wf is not None:
                 prev_out, head_acc = wf_array(ap, prev_out, head_acc)
-                continue
-            if ap.packed is not None:
-                prev_out, head_acc = pk_array(ap, prev_out, head_acc)
                 continue
             cur = scr[ap.cur_scr]  # (2, C, H*TWh) layer-input scratch
             fil = scr[ap.film_scr] if ap.film_scr >= 0 else None

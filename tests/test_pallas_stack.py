@@ -154,103 +154,6 @@ def test_eight_half_tiles_wavefront():
         globals()["B"] = old
 
 
-def _packed_flags(model, T, batch):
-    plan, _ = stack._build_plan(model.config, model.params, T, batch)
-    return [ap.packed is not None for ap in plan.all_arrays]
-
-
-def test_packed_flagship_equivalence():
-    """B=512 -> W=512 (H=4) engages the MXU-call-packed schedule on both
-    film-free flagship arrays; pinned to the XLA engine step."""
-    global B
-    old = B
-    try:
-        globals()["B"] = 512
-        m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_a1_standard.nam"))
-        assert all(_packed_flags(m, 16, 512)), "packed path must be active"
-        _run_equivalence(m, T=16, n_blocks=6)
-    finally:
-        globals()["B"] = old
-
-
-def test_packed_gated_bottleneck_and_head1x1():
-    """Packed schedule with gated conv_out=2*bn, bottleneck != channels
-    (layer1x1 deferred dots) and a head1x1-only pend block (no layer1x1)."""
-    global B
-    old = B
-    try:
-        globals()["B"] = 512
-        gated = {
-            "layers": [
-                {
-                    "input_size": 1, "condition_size": 1, "channels": 8,
-                    "bottleneck": 4, "head_size": 4, "kernel_size": 2,
-                    "dilations": [1, 4, 16], "activation": "Tanh",
-                    "gated": True, "head_bias": False,
-                },
-                {
-                    "input_size": 8, "condition_size": 1, "channels": 4,
-                    "head_size": 1, "kernel_size": 3, "dilations": [2, 8],
-                    "activation": "ReLU", "gated": False, "head_bias": True,
-                },
-            ],
-            "head": None,
-        }
-        m = _wavenet_model(gated)
-        assert all(_packed_flags(m, 16, 512))
-        _run_equivalence(m, T=16, n_blocks=6)
-
-        h1 = {
-            "layers": [
-                {
-                    "input_size": 1, "condition_size": 1, "channels": 6,
-                    "head_size": 1, "kernel_sizes": [3, 3], "dilations": [1, 5],
-                    "activation": "Sigmoid", "gating_mode": "blended",
-                    "secondary_activation": "Hardtanh", "head_bias": True,
-                    "head1x1": {"active": True, "out_channels": 6, "groups": 1},
-                }
-            ],
-            "head": None,
-        }
-        m = _wavenet_model(h1)
-        assert all(_packed_flags(m, 8, 512))
-        _run_equivalence(m, T=8, n_blocks=8)
-    finally:
-        globals()["B"] = old
-
-
-def test_packed_on_vs_off_equal():
-    """The packed schedule computes the same dots with exact-zero off-
-    diagonal blocks: outputs match the unpacked kernel (bit-identical on
-    the MXU's sequential K accumulation; interpret mode is allowed
-    rounding-level variation from the host dot's summation tree)."""
-    global B
-    old = B
-    m = nam.load_model(os.path.join(EXAMPLE_MODELS, "wavenet_a1_standard.nam"))
-    m.prewarm_on_reset = False
-    rng = np.random.default_rng(3)
-    T, n_blocks = 16, 4
-    x = (rng.standard_normal((512, n_blocks * T)) * 0.3).astype(np.float32)
-    try:
-        globals()["B"] = 512
-        outs = {}
-        for packed in (True, False):
-            stack.PACKED = packed
-            stack._PLAN_CACHE.clear()
-            eng = StreamEngine(m, batch=512, block_size=T, kernel="pallas")
-            st = eng.reset(prewarm=False)
-            ys = []
-            for bi in range(n_blocks):
-                y, st = eng.process(x[:, bi * T : (bi + 1) * T], st)
-                ys.append(np.asarray(y))
-            outs[packed] = np.concatenate(ys, axis=-1)
-        np.testing.assert_allclose(outs[True], outs[False], atol=3e-6)
-    finally:
-        stack.PACKED = True
-        stack._PLAN_CACHE.clear()
-        globals()["B"] = old
-
-
 def test_two_half_tiles_wavefront():
     """B=256 engages H=2 half-tiles with the stage-interleaved wavefront."""
     global B

@@ -4,6 +4,13 @@ A: as-is (exact jnp.tanh)
 B: fast-tanh mode (reference's benchmodel default, activations.cpp:168-187)
 C: identity activation (isolates all activation cost)
 D: no read lookahead (isolates DMA overlap win)
+E: bf16x3-equivalent dot precision ladder
+F: decomposition lanes via stack._ABLATE — no_dma (all ring/tail state
+   copies skipped: stale windows, wrong values, same op structure),
+   no_dot (every MXU dot replaced by a slice), no_stack (no window
+   assembly, single-tap dots), and no_dma+no_dot (the VPU/loop floor).
+   Round-5 attribution at B=4096/T=128: dots ~1,880 us + exposed DMA
+   ~290 us + VPU floor ~400 us, additive (docs/performance.md).
 """
 
 import os
@@ -88,11 +95,29 @@ def main():
             stack._PLAN_CACHE.clear()
 
     if "E" in which:
-        stack.DOT_PRECISION = jax.lax.Precision.HIGH
+        # Mosaic rejects Precision.HIGH; DEFAULT is the 1-pass bf16 floor
+        # (numerically unusable — timing calibration only: the 3-pass
+        # HIGHEST/DEFAULT gap is the dot-time share of the step)
+        stack.DOT_PRECISION = jax.lax.Precision.DEFAULT
         try:
-            bench(model, "E bf16x3 dots")
+            bench(model, "E 1-pass DEFAULT dots (timing only)")
         finally:
             stack.DOT_PRECISION = jax.lax.Precision.HIGHEST
+
+    if "F" in which:
+        for name, flags in (
+            ("F no_dma", {"no_dma"}),
+            ("F no_dot", {"no_dot"}),
+            ("F no_stack", {"no_stack"}),
+            ("F no_dma+no_dot (floor)", {"no_dma", "no_dot"}),
+        ):
+            stack._ABLATE = frozenset(flags)
+            stack._PLAN_CACHE.clear()
+            jax.clear_caches()
+            try:
+                bench(model, name)
+            finally:
+                stack._ABLATE = frozenset()
 
 
 if __name__ == "__main__":
