@@ -556,3 +556,40 @@ def test_stream_farm_masked_nan_slab_is_exact_zero_input():
     for a, b in zip(clean, poisoned):
         assert np.isfinite(b).all()
         np.testing.assert_array_equal(a, b)
+
+
+def test_xprof_summary_aggregation(tmp_path):
+    """tools/xprof_summary.summarise aggregates device-track complete events
+    per step and excludes the jit wrapper span from the busy total (it nests
+    the custom call — counting both would double the kernel time)."""
+    import gzip
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import xprof_summary as xs
+
+    d = tmp_path / "plugins" / "profile" / "2026_01_01_00_00_00"
+    d.mkdir(parents=True)
+    steps = 4
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 7, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+    ]
+    for _ in range(steps):
+        events += [
+            {"ph": "X", "pid": 3, "name": "jit_step(123)", "dur": 2000},
+            {"ph": "X", "pid": 3, "name": "_custom_call.1", "dur": 1900},
+            {"ph": "X", "pid": 3, "name": "copy.1", "dur": 50},
+            {"ph": "X", "pid": 7, "name": "host_thing", "dur": 99999},
+        ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    out = xs.summarise(str(tmp_path), steps)
+    assert out["device"] == ["/device:TPU:0"]
+    # busy total = custom call + copy, NOT + the enclosing jit span, and no
+    # host events
+    assert out["device_busy_us_per_step"] == 1950.0
+    ops = {o["op"]: o["us_per_step"] for o in out["ops"]}
+    assert ops["_custom_call.1"] == 1900.0 and "host_thing" not in ops
